@@ -1,0 +1,194 @@
+"""Artifact I/O contract.
+
+The reference pipeline's "API" is the filesystem: each CLI stage reads
+``.npy``/``.pt`` artifacts written by the previous one (reference:
+infer.py:212-237 ``load_data``, predict_ntf.py:138-156, evaluate_similarities.py:48-55).
+The contract per data directory:
+
+    volume.npy          (W, H, D) scalar volume (float; possibly an object
+                        ndarray wrapping {'vol': ...})
+    labels.npy          (W, H, D) uint8 ground-truth labels
+    annotations.npy     object ndarray wrapping {classname: (N, 3) voxel coords}
+    *features*.npy/.pt  {'k': (F, W', H', D') float16} feature volume
+    similarities.npy    object ndarray wrapping {classname: (W/2, H/2, D/2) uint8}
+    *_pred*.npy         (W/2, H/2, D/2) uint8 label predictions
+    metadata.json       per-class {'time': s, 'num_annotations': n} (GUI exports)
+
+This module reproduces that contract exactly so frontends (e.g. the Inviwo
+renderer module) and the reference's own artifacts interoperate with this
+framework. ``.pt`` support is provided through torch (CPU) when available.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+try:  # torch is only needed for .pt/.pth interop
+    import torch
+except ImportError:  # pragma: no cover
+    torch = None
+
+
+def _to_numpy(x):
+    """Convert torch tensors / jax arrays / array-likes to numpy."""
+    if torch is not None and isinstance(x, torch.Tensor):
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _load_pt(path: Path):
+    if torch is None:
+        raise RuntimeError(f"torch is required to load {path}")
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_volume(data_path: str | Path) -> np.ndarray:
+    """Load a 3D scalar volume from ``.npy``/``.pt``/``.pth``.
+
+    Parity with reference infer.py:212-237: dict payloads use the ``'vol'``
+    key; npy object arrays are unwrapped; result is float32 and 3D.
+    """
+    data_path = Path(data_path)
+    if not data_path.exists():
+        raise FileNotFoundError(data_path)
+    if data_path.suffix in (".pt", ".pth"):
+        data = _load_pt(data_path)
+        vol = data["vol"] if isinstance(data, dict) else data
+        vol = _to_numpy(vol).astype(np.float32)
+    elif data_path.suffix == ".npy":
+        data = np.load(data_path, allow_pickle=True)
+        if data.dtype == "O":
+            vol = data[()]["vol"].astype(np.float32)
+        else:
+            vol = data.astype(np.float32)
+    else:
+        raise ValueError(f"Unsupported file extension: {data_path.suffix}")
+    vol = np.squeeze(vol)
+    if vol.ndim != 3:
+        raise ValueError(f"Expected 3D volume, got shape {vol.shape}")
+    return vol
+
+
+def load_features(path: str | Path, key: str = "k") -> np.ndarray:
+    """Load a feature volume artifact ({'k': (F,W,H,D)} dict or raw array).
+
+    Parity with predict_ntf.py:145-150 (dict payloads use ``features['k']``,
+    result squeezed to float32).
+    """
+    path = Path(path)
+    if path.suffix in (".pt", ".pth"):
+        data = _load_pt(path)
+    else:
+        data = np.load(path, allow_pickle=True)
+        if data.dtype == "O":
+            data = data[()]
+    if isinstance(data, dict):
+        data = data[key]
+    return np.squeeze(_to_numpy(data)).astype(np.float32)
+
+
+def load_annotations(path: str | Path) -> dict[str, np.ndarray]:
+    """Load ``{classname: (N, 3) int voxel coords}`` (predict_ntf.py:154)."""
+    path = Path(path)
+    if path.suffix in (".pt", ".pth"):
+        data = _load_pt(path)
+    else:
+        data = np.load(path, allow_pickle=True)[()]
+    return {k: _to_numpy(v) for k, v in data.items()}
+
+
+def save_array(path: str | Path, arr) -> Path:
+    """Save a plain ndarray artifact as ``.npy`` or ``.pt``."""
+    path = Path(path)
+    arr = _to_numpy(arr)
+    if path.suffix in (".pt", ".pth"):
+        if torch is None:
+            raise RuntimeError("torch is required for .pt output")
+        torch.save(torch.from_numpy(np.ascontiguousarray(arr)), path)
+    else:
+        np.save(path, arr)
+    return path
+
+
+def save_features(path: str | Path, features: dict, dtype=np.float16) -> Path:
+    """Save a ``{'k': array}``-style feature dict artifact.
+
+    Parity with infer.py:337-340: ``.pt`` stores tensors, ``.npy`` stores an
+    object ndarray wrapping {key: ndarray}; values stored half precision.
+    """
+    path = Path(path)
+    features = {k: _to_numpy(v).astype(dtype) for k, v in features.items()}
+    if path.suffix in (".pt", ".pth"):
+        if torch is None:
+            raise RuntimeError("torch is required for .pt output")
+        torch.save({k: torch.from_numpy(v) for k, v in features.items()}, path)
+    else:
+        np.save(path, np.asarray(features, dtype=object))
+    return path
+
+
+def save_similarities(path: str | Path, sims: dict) -> Path:
+    """Save ``{classname: (W,H,D) uint8}`` similarity maps (artifact contract)."""
+    path = Path(path)
+    sims = {k: _to_numpy(v).astype(np.uint8) for k, v in sims.items()}
+    np.save(path, np.asarray(sims, dtype=object))
+    return path
+
+
+class ArtifactDir:
+    """A data directory following the reference artifact contract.
+
+    Mirrors how predict_ntf.py:119-156 and evaluate_similarities.py:48-55
+    resolve inputs: ``volume.npy``, ``labels.npy``, ``annotations.npy``,
+    the *largest* ``*features*`` file, ``similarities.npy``, ``metadata.json``.
+    """
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+
+    def volume(self) -> np.ndarray:
+        return load_volume(self.path / "volume.npy")
+
+    def labels(self) -> np.ndarray | None:
+        p = self.path / "labels.npy"
+        if not p.exists():
+            return None
+        data = np.load(p, allow_pickle=True)
+        return data[()] if data.dtype == "O" else data
+
+    def features_path(self) -> Path:
+        """Largest ``*features*`` file, excluding predictions (predict_ntf.py:129-136)."""
+        cands = [
+            p
+            for p in self.path.iterdir()
+            if "features" in p.name and "pred" not in p.name
+        ]
+        if not cands:
+            raise FileNotFoundError(f"No features found in {self.path}")
+        return sorted(cands, key=lambda p: p.stat().st_size)[-1]
+
+    def features(self, key: str = "k") -> np.ndarray:
+        return load_features(self.features_path(), key=key)
+
+    def annotations(self) -> dict[str, np.ndarray]:
+        return load_annotations(self.path / "annotations.npy")
+
+    def similarities(self) -> dict[str, np.ndarray]:
+        return {
+            k: np.asarray(v)
+            for k, v in np.load(
+                self.path / "similarities.npy", allow_pickle=True
+            )[()].items()
+        }
+
+    def metadata(self) -> dict:
+        with open(self.path / "metadata.json") as f:
+            return json.load(f)
+
+    def save_metrics(self, name: str, metrics: dict) -> Path:
+        out = self.path / name
+        with open(out, "w") as f:
+            json.dump(metrics, f)
+        return out

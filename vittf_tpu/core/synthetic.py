@@ -1,0 +1,101 @@
+"""Synthetic SDF volume fixtures (spheres / tori, filled & shell).
+
+TPU-native port of the semantics of reference create_synthetic_volumes.py:
+the only cluster-free test fixture in the reference. Volumes are fp16,
+labels uint8, on a symmetric [-1, 1] lattice with ``indexing='xy'`` grid
+order (create_synthetic_volumes.py:54-55).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _position_grid(size: int) -> jnp.ndarray:
+    ls = jnp.linspace(-1.0, 1.0, size)
+    # torch.meshgrid(..., indexing='xy') swaps the first two axes relative
+    # to 'ij' (create_synthetic_volumes.py:55).
+    gx, gy, gz = jnp.meshgrid(ls, ls, ls, indexing="xy")
+    return jnp.stack([gx, gy, gz], axis=-1)
+
+
+def sdf_sphere(pos: jnp.ndarray, r: float) -> jnp.ndarray:
+    """Signed distance to a sphere of radius ``r`` (reference :8-9)."""
+    return jnp.linalg.norm(pos, axis=-1) - r
+
+
+def sphere_thickness(pos, r, t):
+    """Shell of thickness ``t`` around the sphere surface (reference :11-12)."""
+    return (jnp.abs(sdf_sphere(pos, r)) < t).astype(jnp.float32)
+
+
+def sphere_filled(pos, r):
+    """Filled sphere (reference :14-15)."""
+    return (sdf_sphere(pos, r) <= 0).astype(jnp.float32)
+
+
+def sdf_torus(pos: jnp.ndarray, r1: float, r2: float) -> jnp.ndarray:
+    """Signed distance to a torus (major r1, minor r2) (reference :17-19)."""
+    q = jnp.linalg.norm(pos[..., :2], axis=-1) - r1
+    return jnp.linalg.norm(
+        jnp.concatenate([q[..., None], pos[..., 2:]], axis=-1), axis=-1
+    ) - r2
+
+
+def torus_thickness(pos, r1, r2, t):
+    return (jnp.abs(sdf_torus(pos, r1, r2)) < t).astype(jnp.float32)
+
+
+def torus_filled(pos, r1, r2):
+    return (sdf_torus(pos, r1, r2) <= 0).astype(jnp.float32)
+
+
+def make_synthetic_volumes(
+    size: int = 128, noise: float = 0.0, seed: int = 0
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Build the four reference fixtures: sphere/torus × thick/filled.
+
+    Returns {name: (volume fp16, label uint8)} matching the shapes, dtypes
+    and label rule (vol > 0.5) of create_synthetic_volumes.py:39-69.
+    """
+    pos = _position_grid(size)
+    vols = {
+        "sphere_thick": sphere_thickness(pos, 0.5, 0.05),
+        "sphere_filled": sphere_filled(pos, 0.5),
+        "torus_thick": torus_thickness(pos, 0.5, 0.2, 0.05),
+        "torus_filled": torus_filled(pos, 0.5, 0.2),
+    }
+    out = {}
+    key = jax.random.PRNGKey(seed)
+    for name, vol in vols.items():
+        label = (vol > 0.5).astype(jnp.uint8)
+        if noise > 0.0:
+            key, sub = jax.random.split(key)
+            vol = jnp.clip(
+                vol + jax.random.uniform(sub, vol.shape) * noise, 0.0, 1.0
+            )
+        out[name] = (
+            np.asarray(vol, dtype=np.float16),
+            np.asarray(label, dtype=np.uint8),
+        )
+    return out
+
+
+def write_synthetic_volumes(
+    outdir: str | Path, size: int = 128, noise: float = 0.0, use_pt: bool = False
+) -> list[Path]:
+    """CLI-equivalent of the reference generator: writes ``{name}.npy`` +
+    ``{name}_label.npy`` (or ``.pt``) into ``outdir``."""
+    from vittf_tpu.core.io import save_array
+
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    suffix = ".pt" if use_pt else ".npy"
+    written = []
+    for name, (vol, label) in make_synthetic_volumes(size, noise).items():
+        written.append(save_array(outdir / f"{name}{suffix}", vol))
+        written.append(save_array(outdir / f"{name}_label{suffix}", label))
+    return written

@@ -1,0 +1,6 @@
+from vittf_tpu.ops.resize import (  # noqa: F401
+    resize_nearest,
+    resize_linear,
+    adaptive_avg_pool,
+)
+from vittf_tpu.ops.sampling import grid_sample_3d, sample_features3d  # noqa: F401
