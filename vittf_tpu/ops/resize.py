@@ -47,6 +47,40 @@ def _linear_weight_matrix(in_size: int, out_size: int) -> np.ndarray:
     return w
 
 
+def _cubic_kernel(t: np.ndarray, A: float = -0.75) -> np.ndarray:
+    """Cubic convolution kernel; torch uses A=-0.75 (not Keys' -0.5)."""
+    t = np.abs(t)
+    return np.where(
+        t <= 1.0,
+        ((A + 2.0) * t - (A + 3.0)) * t * t + 1.0,
+        np.where(t < 2.0, (((t - 5.0) * t + 8.0) * t - 4.0) * A, 0.0),
+    )
+
+
+def _cubic_weight_matrix(
+    in_size: int, out_size: int, coord_scale: float | None = None
+) -> np.ndarray:
+    """(out, in) matrix for 1D bicubic resample, align_corners=False.
+
+    torch rule: src = (i + 0.5) * coord_scale - 0.5 (kept negative for
+    cubic), 4 taps at floor(src) + {-1, 0, 1, 2}, indices clamped to the
+    border (value-bounded access). ``coord_scale`` defaults to in/out;
+    callers that mimic torch's ``scale_factor=`` path (where torch keeps
+    the user-provided factor, e.g. DINO's pos-embed ``(w0+0.1)/M``) pass
+    the reciprocal of that factor explicitly.
+    """
+    scale = in_size / out_size if coord_scale is None else coord_scale
+    src = (np.arange(out_size) + 0.5) * scale - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    t = src - i0
+    w = np.zeros((out_size, in_size))
+    rows = np.arange(out_size)
+    for offset in (-1, 0, 1, 2):
+        idx = np.clip(i0 + offset, 0, in_size - 1)
+        np.add.at(w, (rows, idx), _cubic_kernel(offset - t))
+    return w
+
+
 def _adaptive_avg_weight_matrix(in_size: int, out_size: int) -> np.ndarray:
     """(out, in) matrix for 1D adaptive average pooling.
 
@@ -87,6 +121,32 @@ def resize_linear(x: jnp.ndarray, size: tuple[int, ...]) -> jnp.ndarray:
         in_size = x.shape[axis]
         if in_size != out_size:
             x = _apply_axis_matrix(x, _linear_weight_matrix(in_size, out_size), axis)
+    return x
+
+
+def resize_cubic(x: jnp.ndarray, size: tuple[int, ...]) -> jnp.ndarray:
+    """Bicubic resize, align_corners=False, torch parity (A=-0.75).
+
+    Used for ViT position-embedding interpolation (DINO resizes pos_embed
+    bicubically to the slice token grid).
+    """
+    for axis, out_size in zip(_spatial_axes(x.ndim, len(size)), size):
+        in_size = x.shape[axis]
+        if in_size != out_size:
+            x = _apply_axis_matrix(x, _cubic_weight_matrix(in_size, out_size), axis)
+    return x
+
+
+def resize_cubic_scaled(
+    x: jnp.ndarray, size: tuple[int, ...], coord_scales: tuple[float, ...]
+) -> jnp.ndarray:
+    """Bicubic resize with explicit coordinate scales (torch ``scale_factor=``
+    semantics). DINO pos-embed parity: coord_scale = M / (w0 + 0.1)."""
+    for axis, out_size, cs in zip(
+        _spatial_axes(x.ndim, len(size)), size, coord_scales
+    ):
+        in_size = x.shape[axis]
+        x = _apply_axis_matrix(x, _cubic_weight_matrix(in_size, out_size, cs), axis)
     return x
 
 

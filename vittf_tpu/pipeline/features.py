@@ -1,0 +1,212 @@
+"""Feature extraction: frozen ViT over volume slices, 3-axis merge.
+
+TPU-native redesign of the reference's ``compute_qkv`` (infer.py:130-210)
+and the ``--slice-along all`` driver (infer.py:317-333):
+
+reference (GPU, hook-based)                 this module (TPU)
+---------------------------------------    ----------------------------------
+python loop over slice batches,            one ``lax.scan`` over slice
+host→device copy per batch                 batches inside a single ``jit``
+forward hook copies qkv to CPU half        qkv is an explicit model output
+per batch (infer.py:134)                   staying in HBM
+materialize full-res per-axis feature      adaptive-avg-pool along the slice
+volume, then AdaptiveAvgPool3d             axis is FUSED into the scan as a
+(infer.py:329-333)                         weighted accumulation — the
+                                           full-res axis volume never exists
+three sequential axis sweeps + sum         same three sweeps (shapes differ
+                                           per axis → separate jit), summed
+                                           in the accumulator dtype
+
+Key parity facts preserved (SURVEY.md §7 "hard parts"):
+- ``im_sz = int(patch * (d // ref_fact))`` with ``ref_fact = sorted(shape)[1]
+  / feature_output_size`` (float floor; infer.py:317-319)
+- global min-max normalization then ImageNet normalization (infer.py:155)
+- per-batch nearest resize of raw slices to ``im_sz`` (infer.py:177)
+- CLS-token drop and per-axis inverse permute (infer.py:194-209)
+- in-plane feature grids already equal the pooled output grid (the im_sz
+  rule guarantees it), so AdaptiveAvgPool3d reduces to a 1D adaptive pool
+  along the slice axis — expressed here as an (out, S) matmul fused into
+  the accumulation.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vittf_tpu.models.vit import ViTConfig, vit_forward_raw
+from vittf_tpu.ops.resize import _adaptive_avg_weight_matrix, resize_nearest
+from vittf_tpu.utils.tensor import imagenet_normalize
+
+# (permute of (W,H,D) → slice stack, image dims (of im_sz), output axis the
+# slice index lands on in the (F, o0, o1, o2) feature volume)
+_AXIS_RULES = {
+    "z": ((2, 0, 1), (0, 1), 3),  # slices (D, W, H); images (W,H)
+    "y": ((1, 0, 2), (0, 2), 2),  # slices (H, W, D); images (W,D)
+    "x": ((0, 1, 2), (1, 2), 1),  # slices (W, H, D); images (H,D)
+}
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Feature-extraction settings (mirrors infer.py CLI surface)."""
+
+    feature_output_size: int = 64
+    slice_along: str = "all"  # 'x' | 'y' | 'z' | 'all'
+    batch_size: int = 8
+    return_keys: tuple = ("k",)
+    precision: str = "default"  # 'default' (bf16 MXU) | 'highest' (fp32 parity)
+    attn_impl: str = "auto"
+    compute_dtype: str = "float32"  # activation dtype: bfloat16 for speed
+
+
+def compute_im_sizes(
+    vol_shape: tuple[int, int, int], feature_output_size: int, patch_size: int
+) -> tuple[tuple[int, int, int], tuple[int, int, int]]:
+    """Reference parity: infer.py:317-319 image/feature size rule."""
+    ref_fact = sorted(vol_shape)[1] / feature_output_size
+    im_sz = tuple(int(patch_size * (d // ref_fact)) for d in vol_shape)
+    feat_out_sz = tuple(d // patch_size for d in im_sz)
+    return im_sz, feat_out_sz
+
+
+def _qkv_index(key: str) -> int:
+    return {"q": 0, "k": 1, "v": 2}[key]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "axis", "im_sz", "feat_out_sz", "batch_size",
+        "return_keys", "precision", "attn_impl", "compute_dtype",
+    ),
+)
+def _extract_axis(
+    params: dict,
+    vol_normed: jnp.ndarray,
+    cfg: ViTConfig,
+    axis: str,
+    im_sz: tuple[int, int, int],
+    feat_out_sz: tuple[int, int, int],
+    batch_size: int,
+    return_keys: tuple,
+    precision: str,
+    attn_impl: str,
+    compute_dtype: str,
+):
+    """One axis sweep → pooled (F, o0, o1, o2) feature volume per key.
+
+    ``vol_normed`` is the min-max-normalized (W, H, D) volume; ImageNet
+    normalization happens here after the 1→3 channel expand.
+    """
+    dtype = jnp.dtype(compute_dtype)
+    perm, im_dims, out_axis = _AXIS_RULES[axis]
+    slices = jnp.transpose(vol_normed, perm)  # (S, a, b)
+    S = slices.shape[0]
+    img_hw = (im_sz[im_dims[0]], im_sz[im_dims[1]])
+    f_hw = (img_hw[0] // cfg.patch_size, img_hw[1] // cfg.patch_size)
+
+    # slice-axis adaptive pool as an (o_ax, S) weight matrix (zero-padded
+    # slices get zero weight, so batch padding is exact)
+    o_ax = feat_out_sz[out_axis - 1]
+    nb = -(-S // batch_size)
+    w_pool = jnp.asarray(
+        np.pad(
+            _adaptive_avg_weight_matrix(S, o_ax),
+            ((0, 0), (0, nb * batch_size - S)),
+        ),
+        dtype=jnp.float32,
+    )  # (o_ax, nb*B)
+
+    slices = jnp.pad(slices, ((0, nb * batch_size - S), (0, 0), (0, 0)))
+    slices = slices.reshape(nb, batch_size, *slices.shape[1:])
+
+    key_idx = tuple(_qkv_index(k) for k in return_keys)
+    D = cfg.embed_dim
+
+    def body(carry, inp):
+        batch, w_rows = inp  # (B, a, b), (o_ax, B)
+        imgs = resize_nearest(batch[:, None], img_hw)  # (B, 1, h, w)
+        imgs = jnp.broadcast_to(imgs, (batch.shape[0], 3) + img_hw)
+        imgs = imagenet_normalize(imgs).astype(dtype)
+        _, qkv = vit_forward_raw(
+            params, imgs, cfg, precision=precision, attn_impl=attn_impl,
+            return_qkv_last=True, compute_dtype=dtype,
+        )  # (B, 1+hw, 3D)
+        feats = qkv[:, 1:].reshape(
+            batch.shape[0], f_hw[0] * f_hw[1], 3, D
+        )  # CLS dropped (infer.py:197)
+        new_carry = []
+        for ci, ki in enumerate(key_idx):
+            fk = feats[:, :, ki].astype(jnp.float32)  # (B, hw, D)
+            # accumulate pooled slice-axis contribution: (o_ax, hw·D)
+            contrib = jnp.einsum(
+                "ob,bnd->ond", w_rows, fk, precision="highest"
+            )
+            new_carry.append(carry[ci] + contrib)
+        return tuple(new_carry), None
+
+    init = tuple(
+        jnp.zeros((o_ax, f_hw[0] * f_hw[1], D), jnp.float32) for _ in key_idx
+    )
+    w_pool_b = w_pool.reshape(o_ax, nb, batch_size).transpose(1, 0, 2)
+    acc, _ = jax.lax.scan(body, init, (slices, w_pool_b))
+
+    out = {}
+    for name, pooled in zip(return_keys, acc):
+        # (o_ax, fh, fw, D) → (D=F, fh, fw, o_ax) then inverse-permute so the
+        # slice axis lands at ``out_axis`` (infer.py:198-208 permute_out)
+        vol4 = pooled.reshape(o_ax, f_hw[0], f_hw[1], D)
+        vol4 = jnp.moveaxis(vol4, -1, 0)  # (F, o_ax, fh, fw)
+        vol4 = jnp.moveaxis(vol4, 1, out_axis)
+        out[name] = vol4
+    return out
+
+
+def extract_features(
+    vol: jnp.ndarray,
+    params: dict,
+    model_cfg: ViTConfig,
+    cfg: ExtractConfig = ExtractConfig(),
+) -> dict[str, jnp.ndarray]:
+    """Full feature extraction over one, or all three, volume axes.
+
+    Returns {key: (F, o0, o1, o2) float32} — for ``slice_along='all'`` the
+    per-axis pooled volumes are summed (infer.py:327-333; the reference's
+    fp16 accumulation is widened to fp32 here, stored half by the CLI).
+    """
+    from vittf_tpu.utils.tensor import norm_minmax
+
+    vol = jnp.asarray(vol, dtype=jnp.float32)
+    im_sz, feat_out_sz = compute_im_sizes(
+        vol.shape, cfg.feature_output_size, model_cfg.patch_size
+    )
+    vol_normed = norm_minmax(vol)
+
+    axes = ["z", "y", "x"] if cfg.slice_along == "all" else [cfg.slice_along]
+    out: dict[str, jnp.ndarray] = {}
+    for ax in axes:
+        axis_feats = _extract_axis(
+            params, vol_normed, model_cfg, ax, im_sz, feat_out_sz,
+            cfg.batch_size, tuple(cfg.return_keys), cfg.precision,
+            cfg.attn_impl, cfg.compute_dtype,
+        )
+        if cfg.slice_along == "all":
+            # pooled to the common grid before summing (infer.py:329-333)
+            axis_feats = {
+                k: _pool_to(v, feat_out_sz) for k, v in axis_feats.items()
+            }
+        for k, v in axis_feats.items():
+            out[k] = out.get(k, 0) + v
+    return out
+
+
+def _pool_to(feat: jnp.ndarray, feat_out_sz: tuple[int, int, int]) -> jnp.ndarray:
+    from vittf_tpu.ops.resize import adaptive_avg_pool
+
+    if feat.shape[1:] == tuple(feat_out_sz):
+        return feat
+    return adaptive_avg_pool(feat, feat_out_sz)
