@@ -1,0 +1,130 @@
+"""NTF (neural transfer function) similarity + prediction pipeline.
+
+TPU-native equivalent of the reference ``compute_similarities`` and the
+NTF predictor CLI (predict_ntf.py:24-101, 104-256). The similarity matmul
+runs through the fused Pallas kernel (``ops.similarity``); the quantize /
+resize / fuse steps reproduce the reference's artifact semantics exactly,
+including its float→uint8 wraparound (values above 255 — the top ~1% by
+construction of the 255/(0.99·max) scale — wrap modulo 256 under torch's
+cast; see ``quantize_uint8_torch``).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from vittf_tpu.ops.resize import resize_linear, resize_nearest
+from vittf_tpu.ops.sampling import rel_coords_from_abs, sample_features3d
+from vittf_tpu.ops.similarity import (
+    DEFAULT_EXPONENT,
+    DEFAULT_THRESHOLD,
+    fused_similarity,
+)
+from vittf_tpu.utils.tensor import make_5d, norm_minmax
+
+# CT-ORG fusion operating point (predict_ntf.py:207-208)
+CT_ORG_NAMES = ["liver", "bladder", "lung", "kidney", "bone"]
+CT_ORG_THRESHOLDS = [0.486, 0.264, 0.236, 0.68, 0.291]
+
+
+def quantize_uint8_torch(x: jnp.ndarray) -> jnp.ndarray:
+    """float → uint8 with torch cast semantics (truncate, wrap mod 256)."""
+    return (jnp.trunc(x) % 256).astype(jnp.uint8)
+
+
+def compute_similarities(
+    volume: jnp.ndarray,
+    features: jnp.ndarray,
+    annotations: dict[str, np.ndarray],
+    bilateral_solver: bool = False,
+    threshold: float = DEFAULT_THRESHOLD,
+    exponent: float = DEFAULT_EXPONENT,
+    impl: str = "auto",
+) -> dict[str, jnp.ndarray] | None:
+    """Per-class uint8 similarity volumes at half resolution.
+
+    Reference-parity port of predict_ntf.py:24-101:
+    - annotation coords → rel coords over the FULL volume extent (:56)
+    - bilinear feature sampling (:59)
+    - fused dot-threshold-sharpen-mean (:62-72); the single-class >1024
+      fast path averages raw dots first (:62-63)
+    - optional 3D bilateral refinement on a cropped half-res grid (:73-94)
+    - 255/(0.99·max) uint8 quantization (:95-100), then nearest resize to
+      half resolution (no-BLS path)
+
+    Args:
+        volume:   (W, H, D) scalar volume.
+        features: (F, W', H', D') feature volume.
+        annotations: {class: (A_c, 3) absolute voxel coords}.
+    """
+    if len(annotations) == 0:
+        return None
+    counts = [int(v.shape[0]) for v in annotations.values()]
+    if sum(counts) == 0:
+        return None
+
+    in_dims = tuple(volume.shape[-3:])
+    sim_shape = tuple(d // 2 for d in in_dims)
+    feat_dims = tuple(features.shape[-3:])
+    F_dim = features.shape[0]
+
+    abs_coords = jnp.asarray(
+        np.concatenate([np.asarray(v) for v in annotations.values()], axis=0),
+        dtype=jnp.float32,
+    )
+    rel = rel_coords_from_abs(abs_coords, in_dims)
+    qf = sample_features3d(features, rel, mode="bilinear")[0, 0]  # (ΣA, F)
+
+    mean_first = len(annotations) == 1 and counts[0] > 1024
+    feats_flat = jnp.moveaxis(features, 0, -1).reshape(-1, F_dim)
+    sims_nc = fused_similarity(
+        feats_flat, qf, counts,
+        threshold=threshold, exponent=exponent,
+        mean_first=mean_first, impl=impl,
+    )  # (N, C)
+    sims = jnp.moveaxis(sims_nc.reshape(*feat_dims, len(counts)), -1, 0)
+
+    similarities = {}
+    for c, name in enumerate(annotations.keys()):
+        sim = sims[c]
+        if bilateral_solver:
+            from vittf_tpu.pipeline.refine import refine_similarity
+
+            sim = refine_similarity(sim, volume, sim_shape)
+            quant = 0.99 * sim.max()
+            similarities[name] = quantize_uint8_torch(255.0 / quant * sim)
+        else:
+            quant = 0.99 * sim.max()
+            sim_u8 = quantize_uint8_torch(255.0 / quant * sim)
+            if tuple(sim_u8.shape[-3:]) != sim_shape:
+                sim_u8 = resize_nearest(sim_u8, sim_shape)
+            similarities[name] = sim_u8
+    return similarities
+
+
+def fuse_predictions(
+    similarities: dict[str, jnp.ndarray],
+    thresholds: list[float] = CT_ORG_THRESHOLDS,
+) -> jnp.ndarray:
+    """Fuse per-class uint8 sims into a label volume (predict_ntf.py:203-215).
+
+    Class i wins a voxel iff sim_i > threshold_i·255 and sim_i exceeds the
+    best previous class (max-sim tie-break); labels are 1-based, 0 = background.
+    """
+    sims = jnp.stack(list(similarities.values()))
+    pred = jnp.zeros(sims.shape[1:], dtype=jnp.uint8)
+    pred_vals = jnp.zeros(sims.shape[1:], dtype=sims.dtype)
+    for i in range(sims.shape[0]):
+        sim = sims[i]
+        mask = (sim > int(thresholds[i] * 255)) & (sim > pred_vals)
+        pred = jnp.where(mask, jnp.uint8(i + 1), pred)
+        pred_vals = jnp.where(mask, sim, pred_vals)
+    return pred
+
+
+def upscale_prediction(pred: jnp.ndarray, vol_shape: tuple) -> jnp.ndarray:
+    """Nearest-resize a label volume to the full volume shape
+    (predict_ntf.py:217-218)."""
+    if tuple(pred.shape[-3:]) == tuple(vol_shape[-3:]):
+        return pred
+    return resize_nearest(pred, tuple(vol_shape[-3:]))
