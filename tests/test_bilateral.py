@@ -1,0 +1,177 @@
+"""Bilateral solver parity: dense TPU grid vs an independent sparse oracle.
+
+The oracle below implements the Barron-Poole bilateral grid/solver with
+scipy.sparse (float64), structured the way the reference uses it (6-D
+coords incl. constant chroma, [1 0 1] blurs, 10 bistochastization
+iterations, Jacobi-PCG). Operator-level checks (filter) are tight; the CG
+solve check is looser (f32 25-iteration CG vs f64).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from vittf_tpu.ops.bilateral import (
+    apply_bilateral_solver3d,
+    bilateral_filter_gray,
+    bilateral_solve_gray,
+)
+from vittf_tpu.pipeline.refine import refine_similarity
+
+
+class SparseOracle:
+    """Independent sparse bilateral grid for grayscale 3D volumes."""
+
+    def __init__(self, luma, sigma_spatial, sigma_luma, sigma_chroma=5):
+        W, H, D = luma.shape
+        gz, gy, gx = np.mgrid[:W, :H, :D]
+        coords = np.stack(
+            [
+                (gx / sigma_spatial).astype(int),
+                (gy / sigma_spatial).astype(int),
+                (gz / sigma_spatial).astype(int),
+                (luma.astype(float) / sigma_luma).astype(int),
+                (np.full_like(luma, 128.0) / sigma_chroma).astype(int),
+                (np.full_like(luma, 128.0) / sigma_chroma).astype(int),
+            ],
+            axis=-1,
+        ).reshape(-1, 6)
+        self.dim = 6
+        self.npixels = coords.shape[0]
+        uniq, inverse = np.unique(coords, axis=0, return_inverse=True)
+        self.nvertices = len(uniq)
+        self.S = sp.csr_matrix(
+            (np.ones(self.npixels), (inverse, np.arange(self.npixels)))
+        )
+        lookup = {tuple(c): i for i, c in enumerate(uniq)}
+        self.blurs = []
+        for d in range(self.dim):
+            rows, cols = [], []
+            for off in (-1, 1):
+                for i, c in enumerate(uniq):
+                    nb = list(c)
+                    nb[d] += off
+                    j = lookup.get(tuple(nb))
+                    if j is not None:
+                        rows.append(i)
+                        cols.append(j)
+            self.blurs.append(
+                sp.csr_matrix(
+                    (np.ones(len(rows)), (rows, cols)),
+                    shape=(self.nvertices, self.nvertices),
+                )
+            )
+
+    def splat(self, x):
+        return self.S @ x
+
+    def slice(self, y):
+        return self.S.T @ y
+
+    def blur(self, x):
+        out = 2 * self.dim * x
+        for b in self.blurs:
+            out = out + b @ x
+        return out
+
+    def filter(self, x):
+        ones = np.ones_like(x)
+        return self.slice(self.blur(self.splat(x))) / self.slice(
+            self.blur(self.splat(ones))
+        )
+
+    def solve(self, t, c, lam=256.0, A_diag_min=1e-5, cg_tol=1e-5, cg_maxiter=25):
+        m = self.splat(np.ones(self.npixels))
+        n = np.ones(self.nvertices)
+        for _ in range(10):
+            n = np.sqrt(n * m / self.blur(n))
+        m = n * self.blur(n)
+        Dm, Dn = sp.diags(m), sp.diags(n)
+        blur_mat = 2 * self.dim * sp.eye(self.nvertices)
+        for b in self.blurs:
+            blur_mat = blur_mat + b
+        A_smooth = Dm - Dn @ blur_mat @ Dn
+        w_splat = self.splat(c)
+        A = lam * A_smooth + sp.diags(w_splat)
+        b = self.splat(t * c)
+        y0 = b / np.maximum(w_splat, 1e-30)
+        M = sp.diags(1.0 / np.maximum(A.diagonal(), A_diag_min))
+        y, _ = spla.cg(A, b, x0=y0, M=M, maxiter=cg_maxiter, rtol=cg_tol)
+        return self.slice(y)
+
+
+@pytest.fixture(scope="module")
+def gray_volume():
+    rng = np.random.default_rng(7)
+    z, y, x = np.mgrid[:14, :12, :10]
+    base = 120 + 80 * ((z - 7) ** 2 + (y - 6) ** 2 + (x - 5) ** 2 < 20)
+    noisy = base + rng.normal(0, 6, base.shape)
+    return np.clip(noisy, 0, 255).astype(np.uint8)
+
+
+def test_filter_parity_with_sparse_oracle(gray_volume):
+    rng = np.random.default_rng(1)
+    x = rng.random(gray_volume.shape).astype(np.float64)
+    oracle = SparseOracle(gray_volume, sigma_spatial=4, sigma_luma=8)
+    want = oracle.filter(x.reshape(-1)).reshape(gray_volume.shape)
+    got = np.asarray(
+        bilateral_filter_gray(
+            jnp.asarray(x, jnp.float32),
+            jnp.asarray(gray_volume, jnp.float32),
+            sigma_spatial=4,
+            sigma_luma=8,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_solve_parity_with_sparse_oracle(gray_volume):
+    rng = np.random.default_rng(2)
+    t = (gray_volume > 150).astype(np.float64) * 0.9 + 0.05
+    c = rng.random(gray_volume.shape).astype(np.float64) * 0.5 + 0.4
+    oracle = SparseOracle(gray_volume, sigma_spatial=4, sigma_luma=8)
+    want = oracle.solve(t.reshape(-1), c.reshape(-1)).reshape(gray_volume.shape)
+    got = np.asarray(
+        bilateral_solve_gray(
+            jnp.asarray(t, jnp.float32),
+            jnp.asarray(gray_volume, jnp.float32),
+            jnp.asarray(c, jnp.float32),
+            sigma_spatial=4,
+            sigma_luma=8,
+        )
+    )
+    # f32 25-iter CG vs f64: loose but meaningful bound
+    assert np.abs(got - want).max() < 5e-3
+    assert np.corrcoef(got.reshape(-1), want.reshape(-1))[0, 1] > 0.999
+
+
+def test_apply_bilateral_solver3d_smoothing_behavior(gray_volume):
+    """Edge-aware smoothing: solved target follows reference edges."""
+    t = (gray_volume > 150).astype(np.float32)
+    rng = np.random.default_rng(3)
+    t_noisy = np.clip(t + rng.normal(0, 0.3, t.shape).astype(np.float32), 0, 1)
+    r = np.broadcast_to(gray_volume[None], (3,) + gray_volume.shape)
+    out = np.asarray(
+        apply_bilateral_solver3d(
+            jnp.asarray(t_noisy[None]),
+            jnp.asarray(r),
+            grid_params={"sigma_spatial": 4, "sigma_luma": 8},
+        )
+    )
+    assert out.shape == gray_volume.shape
+    assert np.isfinite(out).all()
+    # refined map should be closer to the clean target than the noisy input
+    assert np.abs(out - t).mean() < np.abs(t_noisy - t).mean()
+
+
+def test_refine_similarity_shapes(gray_volume):
+    rng = np.random.default_rng(4)
+    vol = rng.random((20, 24, 16)).astype(np.float32)
+    sim = np.zeros((10, 12, 8), np.float32)
+    sim[3:7, 4:9, 2:6] = rng.random((4, 5, 4)).astype(np.float32)
+    out = np.asarray(
+        refine_similarity(jnp.asarray(sim), jnp.asarray(vol), (10, 12, 8))
+    )
+    assert out.shape == (10, 12, 8)
+    assert np.isfinite(out).all()

@@ -135,6 +135,21 @@ def test_compute_similarities_end_to_end(rng):
         np.testing.assert_array_equal(np.asarray(got[name]), want)
 
 
+def test_compute_similarities_with_bilateral_solver(rng):
+    """BLS branch smoke test: shapes, dtype, finiteness (full parity of the
+    solver itself is covered by tests/test_bilateral.py)."""
+    W, H, D = 16, 16, 16
+    volume = rng.random((W, H, D)).astype(np.float32)
+    features = (rng.standard_normal((6, 8, 8, 8)) * 0.5).astype(np.float32)
+    annotations = {"liver": rng.integers(0, 16, (6, 3)).astype(np.int64)}
+    got = compute_similarities(
+        jnp.asarray(volume), jnp.asarray(features), annotations,
+        bilateral_solver=True, impl="xla",
+    )
+    sim = np.asarray(got["liver"])
+    assert sim.shape == (8, 8, 8) and sim.dtype == np.uint8
+
+
 def test_fuse_predictions_semantics(rng):
     sims = {
         n: jnp.asarray(rng.integers(0, 256, (6, 6, 6), dtype=np.uint8))

@@ -1,0 +1,222 @@
+"""3D fast bilateral solver on a dense device-side bilateral grid.
+
+The reference implements Barron & Poole's fast bilateral solver with
+scipy.sparse CSR matrices built on the host from hashed 6-D bilateral
+coordinates, and solves with scipy's preconditioned CG
+(bilateral_solver3d.py:37-154). That design is host-bound and
+sparsity-dependent — hostile to XLA's static shapes.
+
+TPU-native redesign: for the grayscale references this pipeline feeds
+(volumes expanded 1→3 channels, predict_ntf.py:92), the YUV chroma
+coordinates are constant, so the occupied bilateral vertices live in a
+dense 4-D lattice (x, y, z, luma) of static extent. Everything becomes
+dense, static-shaped XLA:
+
+- splat   = scatter-add of pixels onto the lattice
+- blur    = central factor 2·dim plus ±1 shifts along the 4 axes
+            (empty vertices hold 0 and so contribute nothing — exactly
+            the sparse operator's behavior)
+- slice   = gather
+- solve   = matrix-free Jacobi-preconditioned CG
+            (``jax.scipy.sparse.linalg.cg``), A(y) = λ(Dm − Dn·blur·Dn)y
+            + diag(splat(c))·y, identity on empty vertices
+
+This is *algebraically identical* to the reference's sparse formulation
+restricted to occupied vertices (empty vertices are fixed at 0 and are
+never sliced). The central blur factor stays 2·6 = 12: the reference's
+6-D hash includes the two constant chroma dims, whose ±1 neighbors never
+exist. Full-RGB references (non-constant chroma) are not supported by the
+dense path; the 2D solver covers the RGB use case in the reference.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vittf_tpu.ops.morphology import filter_sobel_separated
+from vittf_tpu.utils.tensor import make_5d
+
+GRID_PARAMS_DEFAULT = {  # reference bilateral_solver3d.py:156-160
+    "sigma_luma": 4,
+    "sigma_chroma": 4,
+    "sigma_spatial": 24,
+}
+BS_PARAMS_DEFAULT = {  # reference bilateral_solver3d.py:162-167
+    "lam": 256,
+    "A_diag_min": 1e-5,
+    "cg_tol": 1e-5,
+    "cg_maxiter": 25,
+}
+_BLUR_DIM = 6  # the reference hashes 6-D coords; central factor is 2·dim
+
+
+def _grid_extents(shape, sigma_spatial, sigma_luma):
+    spatial = tuple(int((s - 1) // sigma_spatial) + 1 for s in shape)
+    luma = int(255.0 / sigma_luma) + 1
+    return spatial + (luma,)
+
+
+def _blur(y: jnp.ndarray) -> jnp.ndarray:
+    """Dense bilateral-grid blur: 2·dim·y + Σ_axes (shift+1 + shift−1)."""
+    out = 2.0 * _BLUR_DIM * y
+    for ax in range(y.ndim):
+        out = out + jnp.pad(
+            jax.lax.slice_in_dim(y, 1, y.shape[ax], axis=ax),
+            [(0, 1) if a == ax else (0, 0) for a in range(y.ndim)],
+        )
+        out = out + jnp.pad(
+            jax.lax.slice_in_dim(y, 0, y.shape[ax] - 1, axis=ax),
+            [(1, 0) if a == ax else (0, 0) for a in range(y.ndim)],
+        )
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sigma_spatial", "sigma_luma", "lam", "A_diag_min",
+                     "cg_tol", "cg_maxiter", "bistoch_iters"),
+)
+def bilateral_solve_gray(
+    target: jnp.ndarray,  # (W, H, D) float
+    luma: jnp.ndarray,  # (W, H, D) float in [0, 255]
+    confidence: jnp.ndarray,  # (W, H, D) float
+    sigma_spatial: int = 24,
+    sigma_luma: int = 4,
+    lam: float = 256.0,
+    A_diag_min: float = 1e-5,
+    cg_tol: float = 1e-5,
+    cg_maxiter: int = 25,
+    bistoch_iters: int = 10,
+) -> jnp.ndarray:
+    """Solve the bilateral-regularized least squares for one channel."""
+    shape = target.shape
+    ext = _grid_extents(shape, sigma_spatial, sigma_luma)
+    gx, gy, gz, gl = ext
+
+    iw = (jnp.arange(shape[0]) / sigma_spatial).astype(jnp.int32)
+    ih = (jnp.arange(shape[1]) / sigma_spatial).astype(jnp.int32)
+    idd = (jnp.arange(shape[2]) / sigma_spatial).astype(jnp.int32)
+    il = (luma.astype(jnp.float32) / sigma_luma).astype(jnp.int32)
+    vid = (
+        (iw[:, None, None] * gy + ih[None, :, None]) * gz + idd[None, None, :]
+    ) * gl + il  # (W, H, D) flat vertex ids
+    vid_flat = vid.reshape(-1)
+    nverts = gx * gy * gz * gl
+
+    def splat(x_pix):
+        return jnp.zeros((nverts,), jnp.float32).at[vid_flat].add(x_pix)
+
+    def slice_(y_vert):
+        return y_vert[vid_flat]
+
+    def blur_flat(y):
+        return _blur(y.reshape(ext)).reshape(-1)
+
+    t = target.reshape(-1).astype(jnp.float32)
+    c = confidence.reshape(-1).astype(jnp.float32)
+
+    # bistochastization (reference :107-118)
+    m = splat(jnp.ones_like(t))
+    occupied = m > 0
+    n = occupied.astype(jnp.float32)
+
+    def bi_body(_, n):
+        bn = blur_flat(n)
+        return jnp.where(occupied, jnp.sqrt(n * m / jnp.where(bn > 0, bn, 1.0)), 0.0)
+
+    n = jax.lax.fori_loop(0, bistoch_iters, bi_body, n)
+    m = n * blur_flat(n)
+
+    w_splat = splat(c)
+    b = splat(t * c)
+    y0 = jnp.where(w_splat > 0, b / jnp.where(w_splat > 0, w_splat, 1.0), 0.0)
+
+    def A(y):
+        smooth = m * y - n * blur_flat(n * y)
+        out = lam * smooth + w_splat * y
+        return jnp.where(occupied, out, y)  # identity on empty vertices
+
+    a_diag = lam * (m - 2.0 * _BLUR_DIM * n * n) + w_splat
+    a_diag = jnp.where(occupied, jnp.maximum(a_diag, A_diag_min), 1.0)
+
+    def precond(y):
+        return y / a_diag
+
+    yhat, _ = jax.scipy.sparse.linalg.cg(
+        A, b, x0=y0, tol=cg_tol, maxiter=cg_maxiter, M=precond
+    )
+    out = slice_(yhat).reshape(shape)
+    return jnp.nan_to_num(out)
+
+
+def bilateral_filter_gray(
+    x: jnp.ndarray, luma: jnp.ndarray, sigma_spatial: int, sigma_luma: int
+) -> jnp.ndarray:
+    """Plain bilateral filter slice(blur(splat(x)))/slice(blur(splat(1)))
+    (reference BilateralGrid.filter, :101-104). Used as the parity oracle
+    for the grid operators (no CG iteration noise)."""
+    shape = x.shape
+    ext = _grid_extents(shape, sigma_spatial, sigma_luma)
+    gl = ext[-1]
+    gx, gy, gz = ext[:3]
+    iw = (jnp.arange(shape[0]) / sigma_spatial).astype(jnp.int32)
+    ih = (jnp.arange(shape[1]) / sigma_spatial).astype(jnp.int32)
+    idd = (jnp.arange(shape[2]) / sigma_spatial).astype(jnp.int32)
+    il = (luma.astype(jnp.float32) / sigma_luma).astype(jnp.int32)
+    vid = (
+        (iw[:, None, None] * gy + ih[None, :, None]) * gz + idd[None, None, :]
+    ) * gl + il
+    vid_flat = vid.reshape(-1)
+    nverts = int(np.prod(ext))
+
+    def filt(v):
+        grid = jnp.zeros((nverts,), jnp.float32).at[vid_flat].add(v)
+        return _blur(grid.reshape(ext)).reshape(-1)[vid_flat]
+
+    xf = x.reshape(-1).astype(jnp.float32)
+    return (filt(xf) / filt(jnp.ones_like(xf))).reshape(shape)
+
+
+def apply_bilateral_solver3d(
+    t: jnp.ndarray,
+    r: jnp.ndarray,
+    c: jnp.ndarray | None = None,
+    grid_params: dict | None = None,
+    bs_params: dict | None = None,
+) -> jnp.ndarray:
+    """Reference-signature entry point (bilateral_solver3d.py:211-245).
+
+    Args:
+        t: target (1, W, H, D) or (W, H, D) float in [0, 1]
+        r: reference image (3, W, H, D) uint8 [0, 255] (grayscale content —
+           all channels equal; the dense grid uses its luma)
+        c: optional confidence (1, W, H, D); defaults to the inverted Sobel
+           magnitude of r[0]/255 (reference :229-238)
+
+    Returns:
+        (W, H, D) float32 solved target.
+    """
+    gp = {**GRID_PARAMS_DEFAULT, **(grid_params or {})}
+    bs = {**BS_PARAMS_DEFAULT, **(bs_params or {})}
+    t = jnp.asarray(t).reshape(t.shape[-3:]).astype(jnp.float32)
+    r = jnp.asarray(r)
+    if c is None:
+        sob = filter_sobel_separated(make_5d(r[0].astype(jnp.float32) / 255.0))
+        sob = sob.reshape(t.shape)
+        c = sob.max() - sob
+    else:
+        c = jnp.asarray(c).reshape(t.shape).astype(jnp.float32)
+    # luma of a grayscale RGB via the reference's RGB→YUV: Y = I exactly
+    luma = r[0].astype(jnp.float32)
+    return bilateral_solve_gray(
+        t, luma, c,
+        sigma_spatial=int(gp["sigma_spatial"]),
+        sigma_luma=int(gp["sigma_luma"]),
+        lam=float(bs["lam"]),
+        A_diag_min=float(bs["A_diag_min"]),
+        cg_tol=float(bs["cg_tol"]),
+        cg_maxiter=int(bs["cg_maxiter"]),
+    )

@@ -1,0 +1,140 @@
+"""Morphological + small separable-filter ops as XLA reduce_windows/convs.
+
+TPU-native replacements for the reference's scipy.ndimage / conv3d usage:
+- separable Sobel magnitude / Gaussian blur (bilateral_solver3d.py:169-181)
+- binary erosion with scipy-compatible structuring elements
+  (compare_feat_sampling.py:19-30 surface sampling)
+- binary_fill_holes (bilateral_solver.py:199-201 2D cc filtering)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vittf_tpu.utils.tensor import make_5d
+
+
+def _conv1d_axis(x5, win, axis):
+    """Depthwise 1D conv along a spatial axis of (N, C, D, H, W), SAME pad.
+
+    Matches the reference's padded F.conv3d with a 3-tap kernel
+    (bilateral_solver3d.py:169-181).
+    """
+    k = len(win)
+    shape = [1, 1, 1, 1, 1]
+    shape[axis] = k
+    kern = jnp.asarray(win, dtype=x5.dtype).reshape(shape)
+    C = x5.shape[1]
+    kern = jnp.broadcast_to(kern, (C, 1) + tuple(shape[2:]))
+    pad = [(0, 0)] * 3
+    pad[axis - 2] = (k // 2, k // 2)
+    return jax.lax.conv_general_dilated(
+        x5, kern,
+        window_strides=(1, 1, 1),
+        padding=pad,
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        feature_group_count=C,
+        precision="highest",
+    )
+
+
+def filter_sobel_separated(x: jnp.ndarray) -> jnp.ndarray:
+    """Gradient magnitude via [-0.5, 0, 0.5] central differences per axis
+    (reference bilateral_solver3d.py:176-181). Input (N, C, D, H, W)."""
+    x5 = make_5d(x)
+    win = [-0.5, 0.0, 0.5]
+    out = _conv1d_axis(x5, win, 4) ** 2
+    out = out + _conv1d_axis(x5, win, 3) ** 2
+    out = out + _conv1d_axis(x5, win, 2) ** 2
+    return jnp.sqrt(out)
+
+
+def filter_gauss_separated(x: jnp.ndarray) -> jnp.ndarray:
+    """[0.25, 0.5, 0.25] separable blur (reference :169-174)."""
+    x5 = make_5d(x)
+    win = [0.25, 0.5, 0.25]
+    out = _conv1d_axis(x5, win, 4)
+    out = _conv1d_axis(out, win, 3)
+    return _conv1d_axis(out, win, 2)
+
+
+def generate_binary_structure(rank: int = 3, connectivity: int = 1) -> np.ndarray:
+    """scipy-compatible 3³ structuring element (sum |offset| ≤ connectivity)."""
+    grid = np.indices((3,) * rank) - 1
+    return (np.abs(grid).sum(axis=0) <= connectivity)
+
+
+def binary_erosion(mask: jnp.ndarray, structure: np.ndarray | None = None) -> jnp.ndarray:
+    """scipy.ndimage.binary_erosion parity (border_value=0).
+
+    A voxel survives iff every 1-cell of the structuring element lies on a
+    true voxel; outside the volume counts as false (scipy default).
+    Implemented as a min-reduce window over the complement conv: we erode
+    by checking conv(mask, structure) == structure.sum().
+    """
+    mask = jnp.asarray(mask)
+    if structure is None:
+        structure = generate_binary_structure(mask.ndim, 1)
+    structure = np.asarray(structure).astype(np.float32)
+    k = structure.shape
+    x5 = make_5d(mask.astype(jnp.float32))
+    kern = jnp.asarray(structure).reshape(1, 1, *k)
+    counts = jax.lax.conv_general_dilated(
+        x5, kern,
+        window_strides=(1, 1, 1),
+        padding=[(s // 2, s // 2) for s in k],
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        precision="highest",
+    )
+    # zero padding == scipy border_value=0: off-edge cells contribute 0 to
+    # the count, so border windows can never reach structure.sum()
+    eroded = counts >= structure.sum() - 0.5
+    return eroded.reshape(mask.shape)
+
+
+def binary_fill_holes(mask: jnp.ndarray, max_iter: int | None = None) -> jnp.ndarray:
+    """scipy.ndimage.binary_fill_holes parity via background flood fill.
+
+    Background reachable from the border is grown by 6/4-connected
+    dilation (bounded ``while_loop``); holes = ~mask ∧ ~reachable.
+    """
+    mask = jnp.asarray(mask).astype(bool)
+    nd = mask.ndim
+    if max_iter is None:
+        max_iter = int(np.sum(mask.shape))  # diameter bound
+
+    free = ~mask
+
+    # seed: free border cells
+    border = jnp.zeros_like(mask)
+    for ax in range(nd):
+        idx = [slice(None)] * nd
+        idx[ax] = 0
+        border = border.at[tuple(idx)].set(True)
+        idx[ax] = -1
+        border = border.at[tuple(idx)].set(True)
+    reach0 = border & free
+
+    def dilate(r):
+        out = r
+        for ax in range(nd):
+            out = out | jnp.roll(r, 1, axis=ax).at[
+                tuple(slice(None) if a != ax else 0 for a in range(nd))
+            ].set(False)
+            out = out | jnp.roll(r, -1, axis=ax).at[
+                tuple(slice(None) if a != ax else -1 for a in range(nd))
+            ].set(False)
+        return out & free
+
+    def cond(state):
+        r, changed, it = state
+        return changed & (it < max_iter)
+
+    def body(state):
+        r, _, it = state
+        nr = dilate(r)
+        return nr, jnp.any(nr != r), it + 1
+
+    reach, _, _ = jax.lax.while_loop(cond, body, (reach0, jnp.bool_(True), 0))
+    return mask | (~reach & free)
