@@ -13,6 +13,7 @@ import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
 from vittf_tpu.ops.bilateral import (
+    apply_bilateral_solver2d,
     apply_bilateral_solver3d,
     bilateral_filter_gray,
     bilateral_solve_gray,
@@ -163,6 +164,21 @@ def test_apply_bilateral_solver3d_smoothing_behavior(gray_volume):
     assert np.isfinite(out).all()
     # refined map should be closer to the clean target than the noisy input
     assert np.abs(out - t).mean() < np.abs(t_noisy - t).mean()
+
+
+def test_apply_bilateral_solver2d(gray_volume):
+    """2D path: 5-D blur dim, constant confidence, island post-filter."""
+    img = gray_volume[:, :, 5].astype(np.float32)  # (14, 12) grayscale slice
+    t = (img > 150).astype(np.float32)
+    binary, solved = apply_bilateral_solver2d(
+        jnp.asarray(t[None]), jnp.asarray(img[None]),
+        grid_params={"sigma_spatial": 3, "sigma_luma": 8},
+    )
+    assert solved.shape == img.shape and binary.shape == img.shape
+    assert np.isfinite(np.asarray(solved)).all()
+    assert set(np.unique(np.asarray(binary))) <= {0.0, 1.0}
+    # the bright blob should survive as the single largest island
+    assert np.asarray(binary)[np.asarray(t) > 0.5].mean() > 0.5
 
 
 def test_refine_similarity_shapes(gray_volume):

@@ -50,7 +50,8 @@ BS_PARAMS_DEFAULT = {  # reference bilateral_solver3d.py:162-167
     "cg_tol": 1e-5,
     "cg_maxiter": 25,
 }
-_BLUR_DIM = 6  # the reference hashes 6-D coords; central factor is 2·dim
+_BLUR_DIM = 6  # the 3D reference hashes 6-D coords; central factor is 2·dim
+_BLUR_DIM_2D = 5  # 2D reference: (x, y, luma, u, v)
 
 
 def _grid_extents(shape, sigma_spatial, sigma_luma):
@@ -59,9 +60,22 @@ def _grid_extents(shape, sigma_spatial, sigma_luma):
     return spatial + (luma,)
 
 
-def _blur(y: jnp.ndarray) -> jnp.ndarray:
+def _vertex_ids(shape, luma, sigma_spatial, sigma_luma):
+    """Flat dense-lattice vertex id per pixel, any spatial rank."""
+    ext = _grid_extents(shape, sigma_spatial, sigma_luma)
+    vid = jnp.zeros((), jnp.int32)
+    for ax, s in enumerate(shape):
+        idx = (jnp.arange(s) / sigma_spatial).astype(jnp.int32)
+        idx = idx.reshape((1,) * ax + (s,) + (1,) * (len(shape) - ax - 1))
+        vid = vid * ext[ax] + idx
+    il = (luma.astype(jnp.float32) / sigma_luma).astype(jnp.int32)
+    vid = vid * ext[-1] + il
+    return vid, ext
+
+
+def _blur(y: jnp.ndarray, blur_dim: int = _BLUR_DIM) -> jnp.ndarray:
     """Dense bilateral-grid blur: 2·dim·y + Σ_axes (shift+1 + shift−1)."""
-    out = 2.0 * _BLUR_DIM * y
+    out = 2.0 * blur_dim * y
     for ax in range(y.ndim):
         out = out + jnp.pad(
             jax.lax.slice_in_dim(y, 1, y.shape[ax], axis=ax),
@@ -77,12 +91,12 @@ def _blur(y: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("sigma_spatial", "sigma_luma", "lam", "A_diag_min",
-                     "cg_tol", "cg_maxiter", "bistoch_iters"),
+                     "cg_tol", "cg_maxiter", "bistoch_iters", "blur_dim"),
 )
 def bilateral_solve_gray(
-    target: jnp.ndarray,  # (W, H, D) float
-    luma: jnp.ndarray,  # (W, H, D) float in [0, 255]
-    confidence: jnp.ndarray,  # (W, H, D) float
+    target: jnp.ndarray,  # (*spatial) float — 2D or 3D
+    luma: jnp.ndarray,  # (*spatial) float in [0, 255]
+    confidence: jnp.ndarray,  # (*spatial) float
     sigma_spatial: int = 24,
     sigma_luma: int = 4,
     lam: float = 256.0,
@@ -90,21 +104,13 @@ def bilateral_solve_gray(
     cg_tol: float = 1e-5,
     cg_maxiter: int = 25,
     bistoch_iters: int = 10,
+    blur_dim: int = _BLUR_DIM,
 ) -> jnp.ndarray:
     """Solve the bilateral-regularized least squares for one channel."""
     shape = target.shape
-    ext = _grid_extents(shape, sigma_spatial, sigma_luma)
-    gx, gy, gz, gl = ext
-
-    iw = (jnp.arange(shape[0]) / sigma_spatial).astype(jnp.int32)
-    ih = (jnp.arange(shape[1]) / sigma_spatial).astype(jnp.int32)
-    idd = (jnp.arange(shape[2]) / sigma_spatial).astype(jnp.int32)
-    il = (luma.astype(jnp.float32) / sigma_luma).astype(jnp.int32)
-    vid = (
-        (iw[:, None, None] * gy + ih[None, :, None]) * gz + idd[None, None, :]
-    ) * gl + il  # (W, H, D) flat vertex ids
+    vid, ext = _vertex_ids(shape, luma, sigma_spatial, sigma_luma)
     vid_flat = vid.reshape(-1)
-    nverts = gx * gy * gz * gl
+    nverts = int(np.prod(ext))
 
     def splat(x_pix):
         return jnp.zeros((nverts,), jnp.float32).at[vid_flat].add(x_pix)
@@ -113,7 +119,7 @@ def bilateral_solve_gray(
         return y_vert[vid_flat]
 
     def blur_flat(y):
-        return _blur(y.reshape(ext)).reshape(-1)
+        return _blur(y.reshape(ext), blur_dim).reshape(-1)
 
     t = target.reshape(-1).astype(jnp.float32)
     c = confidence.reshape(-1).astype(jnp.float32)
@@ -139,7 +145,7 @@ def bilateral_solve_gray(
         out = lam * smooth + w_splat * y
         return jnp.where(occupied, out, y)  # identity on empty vertices
 
-    a_diag = lam * (m - 2.0 * _BLUR_DIM * n * n) + w_splat
+    a_diag = lam * (m - 2.0 * blur_dim * n * n) + w_splat
     a_diag = jnp.where(occupied, jnp.maximum(a_diag, A_diag_min), 1.0)
 
     def precond(y):
@@ -153,31 +159,73 @@ def bilateral_solve_gray(
 
 
 def bilateral_filter_gray(
-    x: jnp.ndarray, luma: jnp.ndarray, sigma_spatial: int, sigma_luma: int
+    x: jnp.ndarray,
+    luma: jnp.ndarray,
+    sigma_spatial: int,
+    sigma_luma: int,
+    blur_dim: int = _BLUR_DIM,
 ) -> jnp.ndarray:
     """Plain bilateral filter slice(blur(splat(x)))/slice(blur(splat(1)))
     (reference BilateralGrid.filter, :101-104). Used as the parity oracle
     for the grid operators (no CG iteration noise)."""
     shape = x.shape
-    ext = _grid_extents(shape, sigma_spatial, sigma_luma)
-    gl = ext[-1]
-    gx, gy, gz = ext[:3]
-    iw = (jnp.arange(shape[0]) / sigma_spatial).astype(jnp.int32)
-    ih = (jnp.arange(shape[1]) / sigma_spatial).astype(jnp.int32)
-    idd = (jnp.arange(shape[2]) / sigma_spatial).astype(jnp.int32)
-    il = (luma.astype(jnp.float32) / sigma_luma).astype(jnp.int32)
-    vid = (
-        (iw[:, None, None] * gy + ih[None, :, None]) * gz + idd[None, None, :]
-    ) * gl + il
+    vid, ext = _vertex_ids(shape, luma, sigma_spatial, sigma_luma)
     vid_flat = vid.reshape(-1)
     nverts = int(np.prod(ext))
 
     def filt(v):
         grid = jnp.zeros((nverts,), jnp.float32).at[vid_flat].add(v)
-        return _blur(grid.reshape(ext)).reshape(-1)[vid_flat]
+        return _blur(grid.reshape(ext), blur_dim).reshape(-1)[vid_flat]
 
     xf = x.reshape(-1).astype(jnp.float32)
     return (filt(xf) / filt(jnp.ones_like(xf))).reshape(shape)
+
+
+def apply_bilateral_solver2d(
+    t: jnp.ndarray,
+    r: jnp.ndarray,
+    c: jnp.ndarray | None = None,
+    grid_params: dict | None = None,
+    bs_params: dict | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """2D bilateral solver + island post-filter (reference bilateral_solver.py).
+
+    Args:
+        t: target (1, W, H) or (W, H) float in [0, 1]
+        r: grayscale reference (1, W, H) or (W, H), value range [0, 255]
+        c: optional confidence; defaults to constant 0.999 (reference :189)
+
+    Returns:
+        (binary, solved): the fill-holes + largest-foreground-island binary
+        mask (reference keeps the 2nd-largest label — background label 0
+        being the largest) and the raw solved float map.
+    """
+    from vittf_tpu.ops.connected import largest_component_2d
+    from vittf_tpu.ops.morphology import binary_fill_holes
+
+    gp = {**GRID_PARAMS_DEFAULT, **(grid_params or {})}
+    bs = {**BS_PARAMS_DEFAULT, **(bs_params or {})}
+    t = jnp.asarray(t).reshape(t.shape[-2:]).astype(jnp.float32)
+    r = jnp.asarray(r).reshape(t.shape)
+    if c is None:
+        c = jnp.full(t.shape, 0.999, jnp.float32)
+    else:
+        c = jnp.asarray(c).reshape(t.shape).astype(jnp.float32)
+    out = bilateral_solve_gray(
+        t, r.astype(jnp.float32), c,
+        sigma_spatial=int(gp["sigma_spatial"]),
+        sigma_luma=int(gp["sigma_luma"]),
+        lam=float(bs["lam"]),
+        A_diag_min=float(bs["A_diag_min"]),
+        cg_tol=float(bs["cg_tol"]),
+        cg_maxiter=int(bs["cg_maxiter"]),
+        blur_dim=_BLUR_DIM_2D,
+    )
+    filled = binary_fill_holes(out > 0.5)
+    binary = largest_component_2d(filled)
+    # reference fallback: all-ones mask when no foreground island exists
+    binary = jnp.where(jnp.any(filled), binary, jnp.ones_like(binary))
+    return binary.astype(jnp.float32), out
 
 
 def apply_bilateral_solver3d(

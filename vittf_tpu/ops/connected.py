@@ -15,14 +15,17 @@ import numpy as np
 
 
 def connected_components(mask: jnp.ndarray, max_iter: int = 64) -> jnp.ndarray:
-    """Label 6-connected components of a 3D boolean mask.
+    """Label face-connected components of a 2D/3D boolean mask
+    (6-connectivity in 3D, 4-connectivity in 2D — scipy.ndimage.label's
+    default cross structure).
 
     Returns int32 labels: 0 where mask is false, otherwise a component id
     (1 + flat index of the component's minimal voxel). Matching component
-    *partition* (not numbering) with scipy.ndimage.label(structure=6-conn).
+    *partition* (not numbering) with scipy.ndimage.label.
     """
     mask = jnp.asarray(mask).astype(bool)
     shape = mask.shape
+    nd = mask.ndim
     n = int(np.prod(shape))
     flat_ids = jnp.arange(1, n + 1, dtype=jnp.int32).reshape(shape)
     big = jnp.int32(n + 2)
@@ -30,12 +33,12 @@ def connected_components(mask: jnp.ndarray, max_iter: int = 64) -> jnp.ndarray:
 
     def neighbor_min(lab):
         m = lab
-        for ax in range(3):
+        for ax in range(nd):
             fwd = jnp.roll(lab, 1, axis=ax).at[
-                tuple(slice(None) if a != ax else 0 for a in range(3))
+                tuple(slice(None) if a != ax else 0 for a in range(nd))
             ].set(big)
             bwd = jnp.roll(lab, -1, axis=ax).at[
-                tuple(slice(None) if a != ax else -1 for a in range(3))
+                tuple(slice(None) if a != ax else -1 for a in range(nd))
             ].set(big)
             m = jnp.minimum(m, jnp.minimum(fwd, bwd))
         return jnp.where(mask, m, big)
@@ -82,6 +85,12 @@ def largest_component(mask: jnp.ndarray, max_iter: int = 64) -> jnp.ndarray:
     sizes = sizes.at[0].set(0)  # background doesn't compete
     best = jnp.argmax(sizes)
     return labels == best
+
+
+def largest_component_2d(mask: jnp.ndarray, max_iter: int = 64) -> jnp.ndarray:
+    """Largest 4-connected component of a 2D mask (used by the 2D solver's
+    island post-filter, reference bilateral_solver.py:199-207)."""
+    return largest_component(mask, max_iter=max_iter)
 
 
 def filter_similarity_largest_island(
