@@ -77,6 +77,88 @@ def _qkv_index(key: str) -> int:
     return {"q": 0, "k": 1, "v": 2}[key]
 
 
+def _axis_geometry(cfg, axis, im_sz, feat_out_sz):
+    perm, im_dims, out_axis = _AXIS_RULES[axis]
+    img_hw = (im_sz[im_dims[0]], im_sz[im_dims[1]])
+    f_hw = (img_hw[0] // cfg.patch_size, img_hw[1] // cfg.patch_size)
+    o_ax = feat_out_sz[out_axis - 1]
+    return perm, img_hw, f_hw, o_ax, out_axis
+
+
+def _scan_pooled_extraction(
+    params, slices_b, w_pool_b, cfg, img_hw, f_hw, o_ax,
+    key_idx, precision, attn_impl, dtype,
+):
+    """Core scan over slice batches with fused slice-axis pooling.
+
+    Args:
+        slices_b: (nb, B, a, b) raw slice batches.
+        w_pool_b: (nb, o_ax, B) per-batch slice-axis pool weight columns.
+
+    Returns one (o_ax, fh·fw, D) fp32 accumulator per requested key. The
+    sum over batches distributes, so sharding batches across devices and
+    psumming the accumulators is exact (used by the parallel layer).
+    """
+    D = cfg.embed_dim
+
+    def body(carry, inp):
+        batch, w_rows = inp  # (B, a, b), (o_ax, B)
+        imgs = resize_nearest(batch[:, None], img_hw)  # (B, 1, h, w)
+        imgs = jnp.broadcast_to(imgs, (batch.shape[0], 3) + img_hw)
+        imgs = imagenet_normalize(imgs).astype(dtype)
+        _, qkv = vit_forward_raw(
+            params, imgs, cfg, precision=precision, attn_impl=attn_impl,
+            return_qkv_last=True, compute_dtype=dtype,
+        )  # (B, 1+hw, 3D)
+        feats = qkv[:, 1:].reshape(
+            batch.shape[0], f_hw[0] * f_hw[1], 3, D
+        )  # CLS dropped (infer.py:197)
+        new_carry = []
+        for ci, ki in enumerate(key_idx):
+            fk = feats[:, :, ki].astype(jnp.float32)  # (B, hw, D)
+            contrib = jnp.einsum(
+                "ob,bnd->ond", w_rows, fk, precision="highest"
+            )
+            new_carry.append(carry[ci] + contrib)
+        return tuple(new_carry), None
+
+    init = tuple(
+        jnp.zeros((o_ax, f_hw[0] * f_hw[1], D), jnp.float32) for _ in key_idx
+    )
+    acc, _ = jax.lax.scan(body, init, (slices_b, w_pool_b))
+    return acc
+
+
+def _pooled_to_volume(pooled, f_hw, o_ax, out_axis, D):
+    """(o_ax, fh·fw, D) accumulator → (F, o0, o1, o2) feature volume
+    (inverse permute of infer.py:198-208)."""
+    vol4 = pooled.reshape(o_ax, f_hw[0], f_hw[1], D)
+    vol4 = jnp.moveaxis(vol4, -1, 0)  # (F, o_ax, fh, fw)
+    return jnp.moveaxis(vol4, 1, out_axis)
+
+
+def prepare_axis_batches(vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size):
+    """Permute to slices, pad to batch multiple, build pool weights."""
+    perm, img_hw, f_hw, o_ax, out_axis = _axis_geometry(
+        cfg, axis, im_sz, feat_out_sz
+    )
+    slices = jnp.transpose(vol_normed, perm)  # (S, a, b)
+    S = slices.shape[0]
+    nb = -(-S // batch_size)
+    # zero-padded slices get zero pool weight, so batch padding is exact
+    w_pool = jnp.asarray(
+        np.pad(
+            _adaptive_avg_weight_matrix(S, o_ax),
+            ((0, 0), (0, nb * batch_size - S)),
+        ),
+        dtype=jnp.float32,
+    )
+    slices = jnp.pad(slices, ((0, nb * batch_size - S), (0, 0), (0, 0)))
+    slices_b = slices.reshape(nb, batch_size, *slices.shape[1:])
+    w_pool_b = w_pool.reshape(o_ax, nb, batch_size).transpose(1, 0, 2)
+    return slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -100,70 +182,21 @@ def _extract_axis(
     """One axis sweep → pooled (F, o0, o1, o2) feature volume per key.
 
     ``vol_normed`` is the min-max-normalized (W, H, D) volume; ImageNet
-    normalization happens here after the 1→3 channel expand.
+    normalization happens inside the scan after the 1→3 channel expand.
     """
     dtype = jnp.dtype(compute_dtype)
-    perm, im_dims, out_axis = _AXIS_RULES[axis]
-    slices = jnp.transpose(vol_normed, perm)  # (S, a, b)
-    S = slices.shape[0]
-    img_hw = (im_sz[im_dims[0]], im_sz[im_dims[1]])
-    f_hw = (img_hw[0] // cfg.patch_size, img_hw[1] // cfg.patch_size)
-
-    # slice-axis adaptive pool as an (o_ax, S) weight matrix (zero-padded
-    # slices get zero weight, so batch padding is exact)
-    o_ax = feat_out_sz[out_axis - 1]
-    nb = -(-S // batch_size)
-    w_pool = jnp.asarray(
-        np.pad(
-            _adaptive_avg_weight_matrix(S, o_ax),
-            ((0, 0), (0, nb * batch_size - S)),
-        ),
-        dtype=jnp.float32,
-    )  # (o_ax, nb*B)
-
-    slices = jnp.pad(slices, ((0, nb * batch_size - S), (0, 0), (0, 0)))
-    slices = slices.reshape(nb, batch_size, *slices.shape[1:])
-
-    key_idx = tuple(_qkv_index(k) for k in return_keys)
-    D = cfg.embed_dim
-
-    def body(carry, inp):
-        batch, w_rows = inp  # (B, a, b), (o_ax, B)
-        imgs = resize_nearest(batch[:, None], img_hw)  # (B, 1, h, w)
-        imgs = jnp.broadcast_to(imgs, (batch.shape[0], 3) + img_hw)
-        imgs = imagenet_normalize(imgs).astype(dtype)
-        _, qkv = vit_forward_raw(
-            params, imgs, cfg, precision=precision, attn_impl=attn_impl,
-            return_qkv_last=True, compute_dtype=dtype,
-        )  # (B, 1+hw, 3D)
-        feats = qkv[:, 1:].reshape(
-            batch.shape[0], f_hw[0] * f_hw[1], 3, D
-        )  # CLS dropped (infer.py:197)
-        new_carry = []
-        for ci, ki in enumerate(key_idx):
-            fk = feats[:, :, ki].astype(jnp.float32)  # (B, hw, D)
-            # accumulate pooled slice-axis contribution: (o_ax, hw·D)
-            contrib = jnp.einsum(
-                "ob,bnd->ond", w_rows, fk, precision="highest"
-            )
-            new_carry.append(carry[ci] + contrib)
-        return tuple(new_carry), None
-
-    init = tuple(
-        jnp.zeros((o_ax, f_hw[0] * f_hw[1], D), jnp.float32) for _ in key_idx
+    slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis) = prepare_axis_batches(
+        vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size
     )
-    w_pool_b = w_pool.reshape(o_ax, nb, batch_size).transpose(1, 0, 2)
-    acc, _ = jax.lax.scan(body, init, (slices, w_pool_b))
-
-    out = {}
-    for name, pooled in zip(return_keys, acc):
-        # (o_ax, fh, fw, D) → (D=F, fh, fw, o_ax) then inverse-permute so the
-        # slice axis lands at ``out_axis`` (infer.py:198-208 permute_out)
-        vol4 = pooled.reshape(o_ax, f_hw[0], f_hw[1], D)
-        vol4 = jnp.moveaxis(vol4, -1, 0)  # (F, o_ax, fh, fw)
-        vol4 = jnp.moveaxis(vol4, 1, out_axis)
-        out[name] = vol4
-    return out
+    key_idx = tuple(_qkv_index(k) for k in return_keys)
+    acc = _scan_pooled_extraction(
+        params, slices_b, w_pool_b, cfg, img_hw, f_hw, o_ax,
+        key_idx, precision, attn_impl, dtype,
+    )
+    return {
+        name: _pooled_to_volume(pooled, f_hw, o_ax, out_axis, cfg.embed_dim)
+        for name, pooled in zip(return_keys, acc)
+    }
 
 
 def extract_features(
