@@ -10,6 +10,9 @@ cast; see ``quantize_uint8_torch``).
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,6 +33,53 @@ CT_ORG_THRESHOLDS = [0.486, 0.264, 0.236, 0.68, 0.291]
 def quantize_uint8_torch(x: jnp.ndarray) -> jnp.ndarray:
     """float → uint8 with torch cast semantics (truncate, wrap mod 256)."""
     return (jnp.trunc(x) % 256).astype(jnp.uint8)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "counts", "sim_shape", "threshold", "exponent", "mean_first", "impl"
+    ),
+)
+def _similarities_device(
+    volume: jnp.ndarray,
+    features: jnp.ndarray,
+    abs_coords: jnp.ndarray,
+    counts: tuple[int, ...],
+    sim_shape: tuple[int, int, int],
+    threshold: float,
+    exponent: float,
+    mean_first: bool,
+    impl: str,
+) -> jnp.ndarray:
+    """Whole no-BLS similarity path in ONE jit → (C, *sim_shape) uint8.
+
+    A single dispatch matters: under the TPU tunnel each eager op is a
+    network round trip; fusing sampling → fused-similarity kernel →
+    quantize → resize into one compiled call makes interactive
+    re-similarity a single round trip.
+    """
+    in_dims = tuple(volume.shape[-3:])
+    feat_dims = tuple(features.shape[-3:])
+    F_dim = features.shape[0]
+
+    rel = rel_coords_from_abs(abs_coords, in_dims)
+    qf = sample_features3d(features, rel, mode="bilinear")[0, 0]  # (ΣA, F)
+
+    feats_flat = jnp.moveaxis(features, 0, -1).reshape(-1, F_dim)
+    sims_nc = fused_similarity(
+        feats_flat, qf, list(counts),
+        threshold=threshold, exponent=exponent,
+        mean_first=mean_first, impl=impl,
+    )  # (N, C)
+    sims = jnp.moveaxis(sims_nc.reshape(*feat_dims, len(counts)), -1, 0)
+
+    # per-class 0.99·max quantization + nearest resize (predict_ntf.py:95-100)
+    quant = 0.99 * sims.max(axis=(1, 2, 3), keepdims=True)
+    sims_u8 = quantize_uint8_torch(255.0 / quant * sims)
+    if feat_dims != sim_shape:
+        sims_u8 = resize_nearest(sims_u8, sim_shape)
+    return sims_u8
 
 
 def compute_similarities(
@@ -59,46 +109,54 @@ def compute_similarities(
     """
     if len(annotations) == 0:
         return None
-    counts = [int(v.shape[0]) for v in annotations.values()]
+    counts = tuple(int(v.shape[0]) for v in annotations.values())
     if sum(counts) == 0:
         return None
 
     in_dims = tuple(volume.shape[-3:])
     sim_shape = tuple(d // 2 for d in in_dims)
-    feat_dims = tuple(features.shape[-3:])
-    F_dim = features.shape[0]
+    mean_first = len(annotations) == 1 and counts[0] > 1024
+    if impl == "auto":
+        import jax
+
+        impl = (
+            "pallas"
+            if jax.devices()[0].platform in ("tpu", "axon")
+            else "xla"
+        )
 
     abs_coords = jnp.asarray(
         np.concatenate([np.asarray(v) for v in annotations.values()], axis=0),
         dtype=jnp.float32,
     )
-    rel = rel_coords_from_abs(abs_coords, in_dims)
-    qf = sample_features3d(features, rel, mode="bilinear")[0, 0]  # (ΣA, F)
 
-    mean_first = len(annotations) == 1 and counts[0] > 1024
+    if not bilateral_solver:
+        sims_u8 = _similarities_device(
+            volume, features, abs_coords, counts, sim_shape,
+            threshold, exponent, mean_first, impl,
+        )
+        return {name: sims_u8[c] for c, name in enumerate(annotations.keys())}
+
+    # BLS path: the crop is data-dependent, so this composes jitted stages
+    from vittf_tpu.ops.sampling import rel_coords_from_abs as _rel
+    from vittf_tpu.pipeline.refine import refine_similarity
+
+    feat_dims = tuple(features.shape[-3:])
+    F_dim = features.shape[0]
+    rel = _rel(abs_coords, in_dims)
+    qf = sample_features3d(features, rel, mode="bilinear")[0, 0]
     feats_flat = jnp.moveaxis(features, 0, -1).reshape(-1, F_dim)
     sims_nc = fused_similarity(
-        feats_flat, qf, counts,
+        feats_flat, qf, list(counts),
         threshold=threshold, exponent=exponent,
         mean_first=mean_first, impl=impl,
-    )  # (N, C)
+    )
     sims = jnp.moveaxis(sims_nc.reshape(*feat_dims, len(counts)), -1, 0)
-
     similarities = {}
     for c, name in enumerate(annotations.keys()):
-        sim = sims[c]
-        if bilateral_solver:
-            from vittf_tpu.pipeline.refine import refine_similarity
-
-            sim = refine_similarity(sim, volume, sim_shape)
-            quant = 0.99 * sim.max()
-            similarities[name] = quantize_uint8_torch(255.0 / quant * sim)
-        else:
-            quant = 0.99 * sim.max()
-            sim_u8 = quantize_uint8_torch(255.0 / quant * sim)
-            if tuple(sim_u8.shape[-3:]) != sim_shape:
-                sim_u8 = resize_nearest(sim_u8, sim_shape)
-            similarities[name] = sim_u8
+        sim = refine_similarity(sims[c], volume, sim_shape)
+        quant = 0.99 * sim.max()
+        similarities[name] = quantize_uint8_torch(255.0 / quant * sim)
     return similarities
 
 
