@@ -165,7 +165,9 @@ def _block(x, p, cfg: ViTConfig, precision, attn_impl, return_qkv=False):
 
     y = _layer_norm(x, p["norm2"])
     y = _linear(y, p["fc1"], precision)
-    y = jax.nn.gelu(y, approximate=False)
+    # parity mode ('highest') uses torch's exact erf GELU; speed mode uses
+    # the tanh approximation (~25% of non-attention time is erf on the VPU)
+    y = jax.nn.gelu(y, approximate=(precision != "highest"))
     y = _linear(y, p["fc2"], precision)
     if "ls2" in p:
         y = y * p["ls2"]

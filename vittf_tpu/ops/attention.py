@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Past this many tokens, full-K/V-in-VMEM stops fitting comfortably.
 _PALLAS_MAX_SEQ = 16384
-_Q_BLOCK = 256
+_Q_BLOCK = 512
 
 
 def _on_tpu() -> bool:
