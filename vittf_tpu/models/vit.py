@@ -151,10 +151,15 @@ def interpolate_pos_embed(
     return jnp.concatenate([cls_pos, patch_pos], axis=1)
 
 
-def _block(x, p, cfg: ViTConfig, precision, attn_impl, return_qkv=False):
-    """Pre-LN transformer block. Returns (x, qkv_activations_or_None)."""
+def _block(x, p, cfg: ViTConfig, precision, attn_impl, capture=None):
+    """Pre-LN transformer block. Returns (x, captured_activations_or_None).
+
+    ``capture``: None | 'qkv' (the fused qkv projection output — what the
+    reference hooks at infer.py:133-135) | 'mlp' (the MLP output before the
+    residual — the infer_clip.py hook target).
+    """
     y = _layer_norm(x, p["norm1"])
-    qkv = _linear(y, p["qkv"], precision)  # (B, N, 3D) — the harvested tensor
+    qkv = _linear(y, p["qkv"], precision)  # (B, N, 3D)
     attn_out = multi_head_attention(
         qkv, cfg.num_heads, precision=precision, impl=attn_impl
     )
@@ -172,7 +177,8 @@ def _block(x, p, cfg: ViTConfig, precision, attn_impl, return_qkv=False):
     if "ls2" in p:
         y = y * p["ls2"]
     x = x + y
-    return x, (qkv if return_qkv else None)
+    captured = {"qkv": qkv, "mlp": y}.get(capture) if capture else None
+    return x, captured
 
 
 def vit_forward_raw(
@@ -183,6 +189,7 @@ def vit_forward_raw(
     attn_impl: str = "auto",
     return_qkv_last: bool = True,
     compute_dtype=jnp.float32,
+    capture: str = "qkv",
 ):
     """Run the ViT over a batch of images (trace-time function; see
     ``vit_forward`` for the jitted entry point).
@@ -222,17 +229,20 @@ def vit_forward_raw(
 
     qkv_last = None
     for i, blk in enumerate(params["blocks"]):
-        want_qkv = return_qkv_last and (i == cfg.depth - 1)
-        x, qkv = _block(x, blk, cfg, precision, attn_impl, return_qkv=want_qkv)
-        if qkv is not None:
-            qkv_last = qkv
+        want = capture if (return_qkv_last and i == cfg.depth - 1) else None
+        x, cap = _block(x, blk, cfg, precision, attn_impl, capture=want)
+        if cap is not None:
+            qkv_last = cap
     x = _layer_norm(x, params["norm"])
     return x, qkv_last
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "precision", "attn_impl", "return_qkv_last", "compute_dtype"),
+    static_argnames=(
+        "cfg", "precision", "attn_impl", "return_qkv_last", "compute_dtype",
+        "capture",
+    ),
 )
 def vit_forward(
     params: dict,
@@ -242,11 +252,12 @@ def vit_forward(
     attn_impl: str = "auto",
     return_qkv_last: bool = True,
     compute_dtype: str = "float32",
+    capture: str = "qkv",
 ):
     """Jitted ``vit_forward_raw``; ``compute_dtype`` as a string for hashability."""
     return vit_forward_raw(
         params, images, cfg, precision, attn_impl, return_qkv_last,
-        jnp.dtype(compute_dtype),
+        jnp.dtype(compute_dtype), capture,
     )
 
 

@@ -61,6 +61,9 @@ class ExtractConfig:
     precision: str = "default"  # 'default' (bf16 MXU) | 'highest' (fp32 parity)
     attn_impl: str = "auto"
     compute_dtype: str = "float32"  # activation dtype: bfloat16 for speed
+    # 'qkv' = DINO path (infer.py hook target); 'mlp' = CLIP/BLIP path
+    # (infer_clip.py hooks blocks[-1].mlp and splits the output in thirds)
+    feature_source: str = "qkv"
 
 
 def compute_im_sizes(
@@ -87,7 +90,7 @@ def _axis_geometry(cfg, axis, im_sz, feat_out_sz):
 
 def _scan_pooled_extraction(
     params, slices_b, w_pool_b, cfg, img_hw, f_hw, o_ax,
-    key_idx, precision, attn_impl, dtype,
+    key_idx, precision, attn_impl, dtype, feature_source="qkv",
 ):
     """Core scan over slice batches with fused slice-axis pooling.
 
@@ -99,7 +102,7 @@ def _scan_pooled_extraction(
     sum over batches distributes, so sharding batches across devices and
     psumming the accumulators is exact (used by the parallel layer).
     """
-    D = cfg.embed_dim
+    D = cfg.embed_dim if feature_source == "qkv" else cfg.embed_dim // 3
 
     def body(carry, inp):
         batch, w_rows = inp  # (B, a, b), (o_ax, B)
@@ -108,10 +111,10 @@ def _scan_pooled_extraction(
         imgs = imagenet_normalize(imgs).astype(dtype)
         _, qkv = vit_forward_raw(
             params, imgs, cfg, precision=precision, attn_impl=attn_impl,
-            return_qkv_last=True, compute_dtype=dtype,
-        )  # (B, 1+hw, 3D)
+            return_qkv_last=True, compute_dtype=dtype, capture=feature_source,
+        )  # (B, 1+hw, 3·D') — D' = embed_dim for qkv, embed_dim/3 for mlp
         feats = qkv[:, 1:].reshape(
-            batch.shape[0], f_hw[0] * f_hw[1], 3, D
+            batch.shape[0], f_hw[0] * f_hw[1], 3, qkv.shape[-1] // 3
         )  # CLS dropped (infer.py:197)
         new_carry = []
         for ci, ki in enumerate(key_idx):
@@ -164,6 +167,7 @@ def prepare_axis_batches(vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size):
     static_argnames=(
         "cfg", "axis", "im_sz", "feat_out_sz", "batch_size",
         "return_keys", "precision", "attn_impl", "compute_dtype",
+        "feature_source",
     ),
 )
 def _extract_axis(
@@ -178,6 +182,7 @@ def _extract_axis(
     precision: str,
     attn_impl: str,
     compute_dtype: str,
+    feature_source: str = "qkv",
 ):
     """One axis sweep → pooled (F, o0, o1, o2) feature volume per key.
 
@@ -191,10 +196,11 @@ def _extract_axis(
     key_idx = tuple(_qkv_index(k) for k in return_keys)
     acc = _scan_pooled_extraction(
         params, slices_b, w_pool_b, cfg, img_hw, f_hw, o_ax,
-        key_idx, precision, attn_impl, dtype,
+        key_idx, precision, attn_impl, dtype, feature_source,
     )
+    D = cfg.embed_dim if feature_source == "qkv" else cfg.embed_dim // 3
     return {
-        name: _pooled_to_volume(pooled, f_hw, o_ax, out_axis, cfg.embed_dim)
+        name: _pooled_to_volume(pooled, f_hw, o_ax, out_axis, D)
         for name, pooled in zip(return_keys, acc)
     }
 
@@ -225,7 +231,7 @@ def extract_features(
         axis_feats = _extract_axis(
             params, vol_normed, model_cfg, ax, im_sz, feat_out_sz,
             cfg.batch_size, tuple(cfg.return_keys), cfg.precision,
-            cfg.attn_impl, cfg.compute_dtype,
+            cfg.attn_impl, cfg.compute_dtype, cfg.feature_source,
         )
         if cfg.slice_along == "all":
             # pooled to the common grid before summing (infer.py:329-333)
