@@ -64,6 +64,11 @@ class ExtractConfig:
     # 'qkv' = DINO path (infer.py hook target); 'mlp' = CLIP/BLIP path
     # (infer_clip.py hooks blocks[-1].mlp and splits the output in thirds)
     feature_source: str = "qkv"
+    # Fast mode: run the ViT only on the slices nearest the pooled output
+    # grid instead of every slice (the reference sketched exactly this and
+    # left it commented out, infer.py:160-166). ~(S/o_ax)× fewer ViT
+    # forwards; NOT artifact-parity with the default full sweep.
+    slice_subsample: bool = False
 
 
 def compute_im_sizes(
@@ -140,20 +145,36 @@ def _pooled_to_volume(pooled, f_hw, o_ax, out_axis, D):
     return jnp.moveaxis(vol4, 1, out_axis)
 
 
-def prepare_axis_batches(vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size):
+def _subsample_slice_indices(S: int, target: int) -> np.ndarray:
+    """The reference's commented-out slice pick (infer.py:160-166):
+    nearest-resize of arange(S) to ``target`` slices, centered."""
+    idx = np.floor(np.arange(target) * (S / target)).astype(np.int64)
+    idx = np.minimum(idx, S - 1)
+    return idx + (S - idx.max()) // 2
+
+
+def prepare_axis_batches(
+    vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size,
+    slice_subsample: bool = False,
+):
     """Permute to slices, pad to batch multiple, build pool weights."""
     perm, img_hw, f_hw, o_ax, out_axis = _axis_geometry(
         cfg, axis, im_sz, feat_out_sz
     )
     slices = jnp.transpose(vol_normed, perm)  # (S, a, b)
     S = slices.shape[0]
+    if slice_subsample and S > o_ax:
+        # one picked slice per output slot → pooling matrix is identity
+        pick = _subsample_slice_indices(S, o_ax)
+        slices = slices[pick]
+        S = o_ax
+        pool_mat = np.eye(o_ax)
+    else:
+        pool_mat = _adaptive_avg_weight_matrix(S, o_ax)
     nb = -(-S // batch_size)
     # zero-padded slices get zero pool weight, so batch padding is exact
     w_pool = jnp.asarray(
-        np.pad(
-            _adaptive_avg_weight_matrix(S, o_ax),
-            ((0, 0), (0, nb * batch_size - S)),
-        ),
+        np.pad(pool_mat, ((0, 0), (0, nb * batch_size - S))),
         dtype=jnp.float32,
     )
     slices = jnp.pad(slices, ((0, nb * batch_size - S), (0, 0), (0, 0)))
@@ -167,7 +188,7 @@ def prepare_axis_batches(vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size):
     static_argnames=(
         "cfg", "axis", "im_sz", "feat_out_sz", "batch_size",
         "return_keys", "precision", "attn_impl", "compute_dtype",
-        "feature_source",
+        "feature_source", "slice_subsample",
     ),
 )
 def _extract_axis(
@@ -183,6 +204,7 @@ def _extract_axis(
     attn_impl: str,
     compute_dtype: str,
     feature_source: str = "qkv",
+    slice_subsample: bool = False,
 ):
     """One axis sweep → pooled (F, o0, o1, o2) feature volume per key.
 
@@ -191,7 +213,7 @@ def _extract_axis(
     """
     dtype = jnp.dtype(compute_dtype)
     slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis) = prepare_axis_batches(
-        vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size
+        vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size, slice_subsample
     )
     key_idx = tuple(_qkv_index(k) for k in return_keys)
     acc = _scan_pooled_extraction(
@@ -232,6 +254,7 @@ def extract_features(
             params, vol_normed, model_cfg, ax, im_sz, feat_out_sz,
             cfg.batch_size, tuple(cfg.return_keys), cfg.precision,
             cfg.attn_impl, cfg.compute_dtype, cfg.feature_source,
+            cfg.slice_subsample,
         )
         if cfg.slice_along == "all":
             # pooled to the common grid before summing (infer.py:329-333)
