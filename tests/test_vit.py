@@ -47,18 +47,37 @@ class TorchMlp(nn.Module):
         return self.fc2(F.gelu(self.fc1(x)))
 
 
+class TorchLayerScale(nn.Module):
+    def __init__(self, dim, init=1e-5):
+        super().__init__()
+        self.gamma = nn.Parameter(torch.full((dim,), init))
+
+    def forward(self, x):
+        return x * self.gamma
+
+
 class TorchBlock(nn.Module):
-    def __init__(self, dim, heads, hidden):
+    def __init__(self, dim, heads, hidden, layerscale=False):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim, eps=1e-6)
         self.attn = TorchAttn(dim, heads)
         self.norm2 = nn.LayerNorm(dim, eps=1e-6)
         self.mlp = TorchMlp(dim, hidden)
+        if layerscale:
+            self.ls1 = TorchLayerScale(dim)
+            self.ls2 = TorchLayerScale(dim)
+        else:
+            self.ls1 = self.ls2 = None
 
     def forward(self, x):
         a, qkv = self.attn(self.norm1(x))
+        if self.ls1 is not None:
+            a = self.ls1(a)
         x = x + a
-        x = x + self.mlp(self.norm2(x))
+        m = self.mlp(self.norm2(x))
+        if self.ls2 is not None:
+            m = self.ls2(m)
+        x = x + m
         return x, qkv
 
 
@@ -82,7 +101,10 @@ class TorchDinoViT(nn.Module):
         self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
         self.pos_embed = nn.Parameter(torch.zeros(1, 1 + cfg.pos_grid**2, dim))
         self.blocks = nn.ModuleList(
-            [TorchBlock(dim, cfg.num_heads, cfg.hidden_dim) for _ in range(cfg.depth)]
+            [
+                TorchBlock(dim, cfg.num_heads, cfg.hidden_dim, cfg.layerscale)
+                for _ in range(cfg.depth)
+            ]
         )
         self.norm = nn.LayerNorm(dim, eps=1e-6)
 
@@ -141,6 +163,26 @@ def test_vit_forward_parity(img_hw, rng):
     np.testing.assert_allclose(
         np.asarray(got_qkv), want_qkv.numpy(), rtol=1e-4, atol=1e-4
     )
+
+
+def test_vit_layerscale_parity_dinov2_path(rng):
+    """The DINOv2 LayerScale path: forward + converter (ls1/ls2.gamma)."""
+    cfg = ViTConfig(patch_size=4, embed_dim=32, depth=2, num_heads=4,
+                    img_size=16, layerscale=True)
+    tmodel = TorchDinoViT(cfg)
+    gen = torch.Generator().manual_seed(2)
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+    params = convert_torch_state_dict(tmodel.state_dict(), cfg)
+    assert "ls1" in params["blocks"][0]
+    x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = tmodel(torch.from_numpy(x))
+    got, _ = vit_forward(
+        params, jnp.asarray(x), cfg, precision="highest", attn_impl="xla"
+    )
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-4)
 
 
 def test_split_qkv_matches_reference_reshape(rng):

@@ -99,16 +99,11 @@ def main(argv=None) -> int:
     else:
         features = compose_features(jnp.asarray(volume))
 
-    eval_labels = labels
-    if args.exclude_bg and labels is not None:
-        # reference :192-198: drop bg voxels, labels shift down by 1
-        eval_labels = None  # dense metrics computed below on masked voxels
-
     results = run_svm_rf(
         volume, annotations, labels=labels, features=np.asarray(features),
         svm_kernel=args.svm_kernel,
         run_svm=not args.no_svm, run_rf=not args.no_rf,
-        rf_estimators=args.rf_estimators,
+        rf_estimators=args.rf_estimators, exclude_bg=args.exclude_bg,
     )
     for name, res in results.items():
         np.save(d / f"{name}_pred{suffix}.npy", res["pred"])

@@ -119,12 +119,18 @@ def run_svm_rf(
     run_svm: bool = True,
     run_rf: bool = True,
     rf_estimators: int = 1024,
+    exclude_bg: bool = False,
 ) -> dict[str, dict]:
     """Train + densely evaluate the SVM/RF baselines.
 
     ``features`` defaults to the 11-dim composed features of ``volume``;
     pass DINO features (F, W', H', D') for the --use-dino-features mode
     (labels are then nearest-resized to the feature grid by the caller).
+
+    ``exclude_bg``: the reference's --exclude-bg mode
+    (predict_svm_rf.py:192-229): only non-background voxels are predicted
+    and scored, GT labels shift down by 1, background voxels in the dense
+    prediction volume stay 0.
     """
     from sklearn.ensemble import RandomForestClassifier
     from sklearn.svm import SVC
@@ -139,6 +145,15 @@ def run_svm_rf(
     )
     keys = sorted(annotations.keys())
 
+    eval_labels = None if labels is None else np.asarray(labels).reshape(-1)
+    non_bg = None
+    if exclude_bg:
+        if eval_labels is None:
+            raise ValueError("exclude_bg requires labels")
+        non_bg = eval_labels != 0
+        features_flat = features_flat[non_bg]
+        eval_labels = eval_labels[non_bg] - 1
+
     results = {}
     jobs = []
     if run_svm:
@@ -149,10 +164,16 @@ def run_svm_rf(
         )
     for name, clf in jobs:
         pred, times = fit_predict_classifier(clf, train_X, train_y, features_flat)
-        entry = {"pred": pred.reshape(feat_size).astype(np.uint8), **times}
-        if labels is not None:
+        if exclude_bg:
+            predv = np.zeros(int(np.prod(feat_size)), np.uint8)
+            predv[non_bg] = pred
+            predv = predv.reshape(feat_size)
+        else:
+            predv = pred.reshape(feat_size).astype(np.uint8)
+        entry = {"pred": predv, **times}
+        if eval_labels is not None:
             entry["metrics"] = segmentation_metrics(
-                labels.reshape(-1), pred, keys, extra=times
+                eval_labels, pred, keys, extra=times
             )
         results[name] = entry
     return results
