@@ -7,6 +7,8 @@ import torch
 import torch.nn as nn
 import torch.nn.functional as F
 
+import jax.numpy as jnp
+
 from vittf_tpu.models.cnn3d import (
     FeatureExtractorConfig,
     PAWSNetConfig,
@@ -175,6 +177,34 @@ def test_gather_matches_torch_reference(rng):
 def test_upscale_indices():
     idx = jnp.asarray([[0, 1, 2]])
     np.testing.assert_array_equal(np.asarray(upscale_indices(idx, 4)), [[2, 6, 10]])
+
+
+def test_dense_vs_gathered_crops_equal(rng):
+    """The reference's only real correctness test
+    (tests/test_sparseconv_equal.py): a dense full-volume forward and a
+    forward over gathered receptive-field crops must agree at the crop
+    centers. Norm='none' like the reference's Norm=Identity — GroupNorm
+    statistics depend on the spatial extent, so equivalence only holds
+    without normalization."""
+    cfg = FeatureExtractorConfig(1, (8, 8), (8,), norm="none")
+    params = init_feature_extractor(cfg, jax.random.PRNGKey(4))
+    vol = jnp.asarray(rng.random((1, 12, 13, 14)).astype(np.float32))
+    ks = len(cfg.n_features) * 2 + 1  # receptive field
+    pad = ks // 2
+
+    # dense: pad so output voxel (i,j,k) sees the crop centered there
+    padded = jnp.pad(vol[None], ((0, 0), (0, 0)) + ((pad, pad),) * 3)
+    dense = feature_extractor_forward(params, padded, cfg)[0]  # (F, 12, 13, 14)
+
+    centers = np.stack(
+        [rng.integers(0, s, 25) for s in (12, 13, 14)], axis=-1
+    )
+    crops = gather_receptive_fields(vol, jnp.asarray(centers), ks=ks)
+    sparse = feature_extractor_forward(params, crops, cfg)
+    sparse = sparse.reshape(sparse.shape[0], sparse.shape[1])  # (25, F)
+
+    want = np.asarray(dense[:, centers[:, 0], centers[:, 1], centers[:, 2]]).T
+    np.testing.assert_allclose(np.asarray(sparse), want, rtol=1e-4, atol=1e-5)
 
 
 # ---------- losses ----------

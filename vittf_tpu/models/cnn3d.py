@@ -51,6 +51,7 @@ class FeatureExtractorConfig:
     n_features: tuple = (8, 16, 32)
     n_linear: tuple = (32,)
     residual: bool = False
+    norm: str = "group"  # 'group' | 'none' (the reference's pluggable Norm)
 
     @property
     def crop_per_side(self) -> int:
@@ -113,8 +114,9 @@ def feature_extractor_forward(
 
     def layer(x, p):
         y = _conv3d(x, p["conv"]["kernel"], p["conv"]["bias"], precision)
-        n_out = p["conv"]["kernel"].shape[-1]
-        y = group_norm(y, p["norm"]["scale"], p["norm"]["bias"], n_out // 4)
+        if cfg.norm == "group":
+            n_out = p["conv"]["kernel"].shape[-1]
+            y = group_norm(y, p["norm"]["scale"], p["norm"]["bias"], n_out // 4)
         return mish(y)
 
     if cfg.residual:
