@@ -70,8 +70,6 @@ def load_params(args, cfg):
     if args.weights:
         wp = Path(args.weights)
         if wp.suffix == ".npz":
-            import jax.numpy as jnp
-
             flat = dict(np.load(wp))
             from vittf_tpu.models.serialization import unflatten_params
 

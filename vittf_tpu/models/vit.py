@@ -31,7 +31,7 @@ Parameter pytree layout (all jnp arrays):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax

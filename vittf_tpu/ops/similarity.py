@@ -53,7 +53,8 @@ def class_mean_matrix(counts: list[int], total_padded: int) -> np.ndarray:
 
 
 def _similarity_kernel(
-    f_ref, q_ref, m_ref, o_ref, *, threshold, exponent, mean_first, n_ablocks
+    f_ref, q_ref, m_ref, o_ref, *, threshold, exponent, mean_first, n_ablocks,
+    precision,
 ):
     j = pl.program_id(1)
 
@@ -62,12 +63,16 @@ def _similarity_kernel(
         o_ref[:] = jnp.zeros_like(o_ref)
 
     s = jnp.dot(
-        f_ref[:], q_ref[:], preferred_element_type=jnp.float32
+        f_ref[:], q_ref[:], preferred_element_type=jnp.float32,
+        precision=precision,
     )  # (Bn, Ba)
     if not mean_first:
         s = _g(s, threshold, exponent)
+    # the class-mean contraction is ~C/F of the kernel's FLOPs but dominates
+    # the bf16 rounding error of the averaged maps — always run it fp32
     o_ref[:] += jnp.dot(
-        s, m_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
+        s, m_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32,
+        precision="highest",
     )
 
     if mean_first:
@@ -77,7 +82,7 @@ def _similarity_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("threshold", "exponent", "mean_first")
+    jax.jit, static_argnames=("threshold", "exponent", "mean_first", "precision")
 )
 def similarity_pallas(
     feats: jnp.ndarray,  # (N, F)
@@ -86,8 +91,13 @@ def similarity_pallas(
     threshold: float = DEFAULT_THRESHOLD,
     exponent: float = DEFAULT_EXPONENT,
     mean_first: bool = False,
+    precision: str = "default",
 ) -> jnp.ndarray:
-    """Fused similarity maps on TPU. Returns (N, C) float32."""
+    """Fused similarity maps on TPU. Returns (N, C) float32.
+
+    ``precision='highest'`` runs the MXU dots in multi-pass fp32 for
+    parity-grade artifacts (≈3× slower, still fused).
+    """
     N, F = feats.shape
     A, C = class_mat.shape
     npad = -(-N // _BLOCK_N) * _BLOCK_N
@@ -108,6 +118,7 @@ def similarity_pallas(
             exponent=exponent,
             mean_first=mean_first,
             n_ablocks=n_ablocks,
+            precision=None if precision == "default" else precision,
         ),
         out_shape=jax.ShapeDtypeStruct((npad, C), jnp.float32),
         grid=grid,

@@ -16,14 +16,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vittf_tpu.ops.resize import resize_linear, resize_nearest
+from vittf_tpu.ops.resize import resize_nearest
 from vittf_tpu.ops.sampling import rel_coords_from_abs, sample_features3d
 from vittf_tpu.ops.similarity import (
     DEFAULT_EXPONENT,
     DEFAULT_THRESHOLD,
     fused_similarity,
 )
-from vittf_tpu.utils.tensor import make_5d, norm_minmax
 
 # CT-ORG fusion operating point (predict_ntf.py:207-208)
 CT_ORG_NAMES = ["liver", "bladder", "lung", "kidney", "bone"]

@@ -10,7 +10,7 @@ with per-class IoU (:173-220 capability).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax

@@ -10,7 +10,6 @@ last two axes, matching the reference's (N, 2) correspondences).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

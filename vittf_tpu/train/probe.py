@@ -8,7 +8,6 @@ with an optional background-rejection threshold (all sigmoids < 0.5 → bg).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
