@@ -169,6 +169,28 @@ def similarity_xla(
     )
 
 
+def fused_similarity_m(
+    feats_flat: jnp.ndarray,
+    queries: jnp.ndarray,
+    class_mat: jnp.ndarray,
+    threshold: float = DEFAULT_THRESHOLD,
+    exponent: float = DEFAULT_EXPONENT,
+    mean_first: bool = False,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Similarity maps with an explicit (A, C) class-mean matrix.
+
+    Because the mean matrix is a runtime value, callers can pad the
+    annotation axis to a bucket size and keep the jit cache warm while the
+    user adds/removes annotations interactively.
+    """
+    if impl == "auto":
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        impl = "pallas" if on_tpu else "xla"
+    fn = similarity_pallas if impl == "pallas" else similarity_xla
+    return fn(feats_flat, queries, class_mat, threshold, exponent, mean_first)
+
+
 def fused_similarity(
     feats_flat: jnp.ndarray,
     queries: jnp.ndarray,
@@ -188,9 +210,7 @@ def fused_similarity(
     Returns:
         (N, C) float32 per-class similarity.
     """
-    if impl == "auto":
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        impl = "pallas" if on_tpu else "xla"
     m = jnp.asarray(class_mean_matrix(class_counts, queries.shape[0]))
-    fn = similarity_pallas if impl == "pallas" else similarity_xla
-    return fn(feats_flat, queries, m, threshold, exponent, mean_first)
+    return fused_similarity_m(
+        feats_flat, queries, m, threshold, exponent, mean_first, impl
+    )

@@ -22,6 +22,7 @@ from vittf_tpu.ops.similarity import (
     DEFAULT_EXPONENT,
     DEFAULT_THRESHOLD,
     fused_similarity,
+    fused_similarity_m,
 )
 
 # CT-ORG fusion operating point (predict_ntf.py:207-208)
@@ -34,17 +35,19 @@ def quantize_uint8_torch(x: jnp.ndarray) -> jnp.ndarray:
     return (jnp.trunc(x) % 256).astype(jnp.uint8)
 
 
+def _bucket_annotations(total: int, step: int = 256) -> int:
+    return -(-max(total, 1) // step) * step
+
+
 @partial(
     jax.jit,
-    static_argnames=(
-        "counts", "sim_shape", "threshold", "exponent", "mean_first", "impl"
-    ),
+    static_argnames=("sim_shape", "threshold", "exponent", "mean_first", "impl"),
 )
 def _similarities_device(
     volume: jnp.ndarray,
     features: jnp.ndarray,
-    abs_coords: jnp.ndarray,
-    counts: tuple[int, ...],
+    abs_coords: jnp.ndarray,  # (A_pad, 3), zero-padded
+    class_mat: jnp.ndarray,  # (A_pad, C), zero rows for padding
     sim_shape: tuple[int, int, int],
     threshold: float,
     exponent: float,
@@ -56,22 +59,25 @@ def _similarities_device(
     A single dispatch matters: under the TPU tunnel each eager op is a
     network round trip; fusing sampling → fused-similarity kernel →
     quantize → resize into one compiled call makes interactive
-    re-similarity a single round trip.
+    re-similarity a single round trip. The annotation axis is padded to a
+    bucket and the class-mean matrix is a runtime value, so adding or
+    removing annotations does NOT recompile.
     """
     in_dims = tuple(volume.shape[-3:])
     feat_dims = tuple(features.shape[-3:])
     F_dim = features.shape[0]
 
     rel = rel_coords_from_abs(abs_coords, in_dims)
-    qf = sample_features3d(features, rel, mode="bilinear")[0, 0]  # (ΣA, F)
+    qf = sample_features3d(features, rel, mode="bilinear")[0, 0]  # (A_pad, F)
 
     feats_flat = jnp.moveaxis(features, 0, -1).reshape(-1, F_dim)
-    sims_nc = fused_similarity(
-        feats_flat, qf, list(counts),
+    sims_nc = fused_similarity_m(
+        feats_flat, qf, class_mat,
         threshold=threshold, exponent=exponent,
         mean_first=mean_first, impl=impl,
     )  # (N, C)
-    sims = jnp.moveaxis(sims_nc.reshape(*feat_dims, len(counts)), -1, 0)
+    C = class_mat.shape[1]
+    sims = jnp.moveaxis(sims_nc.reshape(*feat_dims, C), -1, 0)
 
     # per-class 0.99·max quantization + nearest resize (predict_ntf.py:95-100)
     quant = 0.99 * sims.max(axis=(1, 2, 3), keepdims=True)
@@ -124,17 +130,26 @@ def compute_similarities(
             else "xla"
         )
 
-    abs_coords = jnp.asarray(
-        np.concatenate([np.asarray(v) for v in annotations.values()], axis=0),
-        dtype=jnp.float32,
-    )
+    abs_np = np.concatenate(
+        [np.asarray(v) for v in annotations.values()], axis=0
+    ).astype(np.float32)
 
     if not bilateral_solver:
+        # pad the annotation axis to a bucket: interactive annotation
+        # changes then reuse the compiled graph (zero mean-matrix rows make
+        # the padding exact)
+        from vittf_tpu.ops.similarity import class_mean_matrix
+
+        apad = _bucket_annotations(abs_np.shape[0])
+        coords_p = np.zeros((apad, 3), np.float32)
+        coords_p[: abs_np.shape[0]] = abs_np
+        m = class_mean_matrix(list(counts), apad)
         sims_u8 = _similarities_device(
-            volume, features, abs_coords, counts, sim_shape,
-            threshold, exponent, mean_first, impl,
+            volume, features, jnp.asarray(coords_p), jnp.asarray(m),
+            sim_shape, threshold, exponent, mean_first, impl,
         )
         return {name: sims_u8[c] for c, name in enumerate(annotations.keys())}
+    abs_coords = jnp.asarray(abs_np)
 
     # BLS path: the crop is data-dependent, so this composes jitted stages
     from vittf_tpu.ops.sampling import rel_coords_from_abs as _rel
