@@ -55,6 +55,9 @@ def build_parser() -> ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from vittf_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from vittf_tpu.cli import infer as cli_infer
     from vittf_tpu.cli import predict_ntf as cli_ntf
     from vittf_tpu.cli import predict_svm_rf as cli_svm

@@ -86,6 +86,9 @@ def load_params(args, cfg):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from vittf_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 

@@ -38,6 +38,9 @@ def build_parser() -> ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from vittf_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from vittf_tpu.core.io import ArtifactDir, load_features
     from vittf_tpu.ops.resize import resize_nearest
     from vittf_tpu.pipeline.annotations import (

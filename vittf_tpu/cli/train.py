@@ -94,6 +94,9 @@ def _make_trainer(args, vol, mask, labels):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from vittf_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from vittf_tpu.models.serialization import restore_checkpoint, save_checkpoint
     from vittf_tpu.utils.logging import MetricLogger
 
