@@ -107,7 +107,9 @@ def cc3d_largest(mask: np.ndarray) -> np.ndarray:
 
     from vittf_tpu.ops.connected import largest_component
 
-    return np.asarray(largest_component(jnp.asarray(mask > 0)))
+    # fetch as uint8: bool device→host transfers hang on some TPU transports
+    out = largest_component(jnp.asarray(mask > 0)).astype(jnp.uint8)
+    return np.asarray(out).astype(bool)
 
 
 def bilateral_grid_build(

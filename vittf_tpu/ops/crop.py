@@ -20,7 +20,9 @@ def bounding_box(
     Parity with reference crop_pad: mi clamped at 0, ma at shape (exclusive).
     """
     shape = np.asarray(mask.shape[-3:])
-    m = np.asarray(mask).reshape(-1, *mask.shape[-3:]).any(axis=0)
+    # fetch as uint8: bool device→host transfers hang on some TPU transports
+    m = np.asarray(jnp.asarray(mask).astype(jnp.uint8))
+    m = m.reshape(-1, *mask.shape[-3:]).any(axis=0)
     idx = np.argwhere(m)
     if idx.size == 0:
         return np.zeros(3, np.int64), shape.astype(np.int64)

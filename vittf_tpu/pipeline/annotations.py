@@ -41,12 +41,18 @@ def sample_uniform(
 
 
 def surface_shell(mask: np.ndarray, dist_from_surface: int = 4) -> np.ndarray:
-    """Shell mask: erode(struct=conn d) XOR erode again (struct=conn 1)."""
+    """Shell mask: erode(struct=conn d) XOR erode again (struct=conn 1).
+
+    The two erosions and the XOR run in one device round trip; the result
+    is fetched as uint8 (bool device→host transfers hang on some TPU
+    transports).
+    """
     stel1 = generate_binary_structure(3, dist_from_surface)
     stel2 = generate_binary_structure(3, 1)
-    outer = np.asarray(binary_erosion(jnp.asarray(mask), stel1))
-    inner = np.asarray(binary_erosion(jnp.asarray(outer), stel2))
-    return np.logical_xor(inner, outer)
+    outer = binary_erosion(jnp.asarray(mask), stel1)
+    inner = binary_erosion(outer, stel2)
+    shell = jnp.logical_xor(inner, outer).astype(jnp.uint8)
+    return np.asarray(shell).astype(bool)
 
 
 def sample_surface(
