@@ -69,6 +69,22 @@ def test_predict_ntf_cli(data_dir):
     assert "mIoU" in metrics and "fit_time" in metrics
 
 
+def test_predict_ntf_cli_with_bilateral_solver(data_dir):
+    """The full predict flow including the BLS branch (surface sampling →
+    fused similarity → crop → dense-grid solve → fusion → metrics)."""
+    rc = cli_predict_ntf.main(
+        ["--data", str(data_dir), "--num-samples", "24",
+         "--sampling-mode", "both", "--impl", "xla", "--bilateral-solver"]
+    )
+    assert rc == 0
+    preds = [p for p in data_dir.glob("ntf_pred*bls.npy")]
+    assert preds
+    metrics = json.loads(
+        next(data_dir.glob("ntf_metrics*bls.json")).read_text()
+    )
+    assert "mIoU" in metrics
+
+
 def test_predict_svm_rf_cli(data_dir):
     rc = cli_svm_rf.main(
         ["--data", str(data_dir), "--num-samples", "24",
