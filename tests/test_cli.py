@@ -188,6 +188,33 @@ def test_svm_rf_exclude_bg(rng):
     assert res["rf"]["metrics"]["mAcc"] > 0.8  # 2-class problem, labels -1
 
 
+def test_convert_weights_cli(tmp_path):
+    import torch
+
+    from tests.test_vit import TINY, TorchDinoViT
+    from vittf_tpu.cli import convert_weights
+
+    tmodel = TorchDinoViT(TINY)
+    ckpt = tmp_path / "w.pth"
+    torch.save(tmodel.state_dict(), ckpt)
+    # tiny arch isn't registered; exercise through the registry with a
+    # monkeypatched entry
+    from vittf_tpu.models import dino
+
+    dino.ALL_ARCHS["tiny-test"] = TINY
+    try:
+        rc = convert_weights.main(
+            [str(ckpt), str(tmp_path / "w.npz"), "--arch", "tiny-test"]
+        )
+    finally:
+        dino.ALL_ARCHS.pop("tiny-test")
+    assert rc == 0
+    from vittf_tpu.models.serialization import load_params_npz
+
+    params = load_params_npz(tmp_path / "w.npz")
+    assert len(params["blocks"]) == TINY.depth
+
+
 def test_params_npz_roundtrip(tmp_path):
     import jax
 

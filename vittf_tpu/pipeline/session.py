@@ -1,0 +1,143 @@
+"""Interactive session: cached features + recompile-free similarity serving.
+
+The reference's interactive loop lives in an external Inviwo C++ module
+that communicates through the artifact contract (SURVEY.md §3.5): the GUI
+writes ``annotations.npy`` and reads back ``similarities.npy`` /
+``predictions.npy``; the paper's "seconds instead of minutes" claim is the
+latency of that loop. ``InteractiveSession`` is the serving-side object:
+features are extracted (or loaded) once and pinned in HBM, and each
+annotation update is a single bucketed dispatch (2–5 ms device-side).
+``watch_directory`` runs the loop against a directory, making any
+frontend that speaks the artifact contract interactive.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vittf_tpu.core.io import (
+    load_annotations,
+    load_features,
+    save_similarities,
+)
+from vittf_tpu.pipeline.ntf import (
+    CT_ORG_THRESHOLDS,
+    compute_similarities,
+    fuse_predictions,
+)
+
+
+class InteractiveSession:
+    """Volume + cached feature volume serving similarity queries."""
+
+    def __init__(
+        self,
+        volume: np.ndarray,
+        features: np.ndarray,
+        bilateral_solver: bool = False,
+        impl: str = "auto",
+    ):
+        self.volume = jnp.asarray(np.asarray(volume, np.float32))
+        self.features = jnp.asarray(np.asarray(features, np.float32))
+        self.bilateral_solver = bilateral_solver
+        self.impl = impl
+        self.similarities: dict[str, jnp.ndarray] = {}
+
+    @classmethod
+    def from_artifacts(cls, data_dir: str | Path, **kwargs) -> "InteractiveSession":
+        from vittf_tpu.core.io import ArtifactDir
+
+        ad = ArtifactDir(data_dir)
+        return cls(ad.volume(), load_features(ad.features_path()), **kwargs)
+
+    @classmethod
+    def extract(
+        cls, volume: np.ndarray, params, model_cfg, extract_cfg=None, **kwargs
+    ) -> "InteractiveSession":
+        from vittf_tpu.pipeline.features import ExtractConfig, extract_features
+
+        feats = extract_features(
+            jnp.asarray(np.asarray(volume, np.float32)), params, model_cfg,
+            extract_cfg or ExtractConfig(),
+        )["k"]
+        return cls(volume, np.asarray(feats), **kwargs)
+
+    def update_annotations(
+        self, annotations: dict[str, np.ndarray]
+    ) -> dict[str, jnp.ndarray]:
+        """Recompute per-class similarity maps for new annotations."""
+        sims = compute_similarities(
+            self.volume, self.features, annotations,
+            bilateral_solver=self.bilateral_solver, impl=self.impl,
+        )
+        self.similarities = sims or {}
+        return self.similarities
+
+    def predict(self, thresholds=None) -> jnp.ndarray:
+        if not self.similarities:
+            raise RuntimeError("No similarities yet — call update_annotations first")
+        ths = thresholds or (
+            CT_ORG_THRESHOLDS[: len(self.similarities)]
+            if len(self.similarities) <= len(CT_ORG_THRESHOLDS)
+            else [0.25] * len(self.similarities)
+        )
+        return fuse_predictions(self.similarities, ths)
+
+    def export(self, data_dir: str | Path) -> None:
+        """Write similarities + predictions per the artifact contract."""
+        data_dir = Path(data_dir)
+        save_similarities(data_dir / "similarities.npy", self.similarities)
+        np.save(
+            data_dir / "predictions.npy",
+            np.asarray(self.predict()).astype(np.uint8),
+        )
+
+
+def watch_directory(
+    data_dir: str | Path,
+    session: InteractiveSession,
+    poll_interval: float = 0.25,
+    max_updates: int | None = None,
+    on_update=None,
+) -> int:
+    """Serve the artifact contract: on every ``annotations.npy`` change,
+    recompute similarities and write ``similarities.npy``/``predictions.npy``.
+
+    Returns the number of updates served (runs until interrupted when
+    ``max_updates`` is None).
+    """
+    data_dir = Path(data_dir)
+    ann_path = data_dir / "annotations.npy"
+    last_mtime = 0.0
+    served = 0
+    while max_updates is None or served < max_updates:
+        try:
+            mtime = ann_path.stat().st_mtime
+        except FileNotFoundError:
+            time.sleep(poll_interval)
+            continue
+        if mtime <= last_mtime:
+            time.sleep(poll_interval)
+            continue
+        last_mtime = mtime
+        t0 = time.perf_counter()
+        try:
+            annotations = load_annotations(ann_path)
+        except Exception as e:  # partially-written file: retry next poll
+            print(f"annotations read failed ({e}); retrying")
+            last_mtime = 0.0
+            time.sleep(poll_interval)
+            continue
+        sims = session.update_annotations(annotations)
+        jax.block_until_ready(sims)
+        session.export(data_dir)
+        served += 1
+        dt = time.perf_counter() - t0
+        print(f"update {served}: {len(annotations)} classes in {dt*1e3:.0f}ms")
+        if on_update:
+            on_update(served, dt)
+    return served
