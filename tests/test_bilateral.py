@@ -191,3 +191,30 @@ def test_refine_similarity_shapes(gray_volume):
     )
     assert out.shape == (10, 12, 8)
     assert np.isfinite(out).all()
+
+
+def test_refine_similarity_shape_bucket(gray_volume):
+    """Bucketed crops: multiple-of-bucket extents, close to the tight-box
+    result, and stable crop shapes across slightly different supports."""
+    from vittf_tpu.pipeline.refine import _bucket_box
+
+    rng = np.random.default_rng(5)
+    vol = rng.random((24, 24, 24)).astype(np.float32)
+    sim = np.zeros((12, 12, 12), np.float32)
+    sim[3:8, 3:9, 2:7] = rng.random((5, 6, 5)).astype(np.float32)
+    tight = np.asarray(
+        refine_similarity(jnp.asarray(sim), jnp.asarray(vol), (12, 12, 12))
+    )
+    bucketed = np.asarray(
+        refine_similarity(
+            jnp.asarray(sim), jnp.asarray(vol), (12, 12, 12), shape_bucket=4
+        )
+    )
+    assert bucketed.shape == tight.shape
+    assert np.isfinite(bucketed).all()
+    # box helper: extents become multiples of the bucket, inside the shape
+    mi, ma = _bucket_box(
+        (np.array([3, 3, 2]), np.array([10, 11, 9])), (12, 12, 12), 4
+    )
+    assert (((ma - mi) % 4) == 0).all()
+    assert (mi >= 0).all() and (ma <= 12).all()

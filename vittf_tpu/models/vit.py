@@ -190,6 +190,7 @@ def vit_forward_raw(
     return_qkv_last: bool = True,
     compute_dtype=jnp.float32,
     capture: str = "qkv",
+    stop_after_capture: bool = False,
 ):
     """Run the ViT over a batch of images (trace-time function; see
     ``vit_forward`` for the jitted entry point).
@@ -229,7 +230,17 @@ def vit_forward_raw(
 
     qkv_last = None
     for i, blk in enumerate(params["blocks"]):
-        want = capture if (return_qkv_last and i == cfg.depth - 1) else None
+        is_last = i == cfg.depth - 1
+        want = capture if (return_qkv_last and is_last) else None
+        if stop_after_capture and is_last and want == "qkv":
+            # feature-extraction fast path, EXACT for the harvested tensor:
+            # the last block's qkv projection is computed from LN(x) before
+            # its attention/MLP run, so when only qkv_last is consumed the
+            # rest of the block and the final LayerNorm are dead compute
+            # (~8% of the forward). 'mlp' capture needs the full block.
+            y = _layer_norm(x, blk["norm1"])
+            qkv_last = _linear(y, blk["qkv"], precision)
+            return None, qkv_last
         x, cap = _block(x, blk, cfg, precision, attn_impl, capture=want)
         if cap is not None:
             qkv_last = cap

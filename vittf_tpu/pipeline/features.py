@@ -117,6 +117,7 @@ def _scan_pooled_extraction(
         _, qkv = vit_forward_raw(
             params, imgs, cfg, precision=precision, attn_impl=attn_impl,
             return_qkv_last=True, compute_dtype=dtype, capture=feature_source,
+            stop_after_capture=(feature_source == "qkv"),
         )  # (B, 1+hw, 3·D') — D' = embed_dim for qkv, embed_dim/3 for mlp
         feats = qkv[:, 1:].reshape(
             batch.shape[0], f_hw[0] * f_hw[1], 3, qkv.shape[-1] // 3

@@ -95,6 +95,7 @@ def compute_similarities(
     threshold: float = DEFAULT_THRESHOLD,
     exponent: float = DEFAULT_EXPONENT,
     impl: str = "auto",
+    bls_shape_bucket: int | None = None,
 ) -> dict[str, jnp.ndarray] | None:
     """Per-class uint8 similarity volumes at half resolution.
 
@@ -168,7 +169,9 @@ def compute_similarities(
     sims = jnp.moveaxis(sims_nc.reshape(*feat_dims, len(counts)), -1, 0)
     similarities = {}
     for c, name in enumerate(annotations.keys()):
-        sim = refine_similarity(sims[c], volume, sim_shape)
+        sim = refine_similarity(
+            sims[c], volume, sim_shape, shape_bucket=bls_shape_bucket
+        )
         quant = 0.99 * sim.max()
         similarities[name] = quantize_uint8_torch(255.0 / quant * sim)
     return similarities

@@ -22,12 +22,27 @@ BLS_GRID_PARAMS = {  # predict_ntf.py:75-79
 }
 
 
+def _bucket_box(mima, shape, bucket: int):
+    """Grow a [mi, ma) box so each extent is a multiple of ``bucket``,
+    keeping it inside ``shape`` (shifting the start when hitting the end)."""
+    import numpy as np
+
+    mi, ma = (np.asarray(m).copy() for m in mima)
+    for d in range(3):
+        want = -(-int(ma[d] - mi[d]) // bucket) * bucket
+        want = min(want, shape[d])
+        ma[d] = min(mi[d] + want, shape[d])
+        mi[d] = ma[d] - want
+    return mi, ma
+
+
 def refine_similarity(
     sim: jnp.ndarray,
     volume: jnp.ndarray,
     sim_shape: tuple[int, int, int],
     grid_params: dict | None = None,
     bs_params: dict | None = None,
+    shape_bucket: int | None = None,
 ) -> jnp.ndarray:
     """Refine one class's similarity map with the 3D bilateral solver.
 
@@ -35,6 +50,12 @@ def refine_similarity(
         sim: (W', H', D') float similarity on the feature grid.
         volume: (W, H, D) scalar volume (full resolution).
         sim_shape: target half-resolution grid (W//2, H//2, D//2).
+        shape_bucket: if set (e.g. 8), the crop box is grown to multiples
+            of this size so interactive frames reuse compiled solver
+            graphs instead of recompiling per crop shape. The solve then
+            covers a slightly larger (real-voxel) region than the
+            reference's tight box — not bit-parity, typically closer to
+            the uncropped solve. None (default) = reference-parity box.
 
     Returns:
         (sim_shape) float32 refined similarity.
@@ -48,6 +69,13 @@ def refine_similarity(
         sim = resize_linear(make_5d(sim), sim_shape).reshape(sim_shape)
 
     crops, mima = crop_pad([sim, vol_u8], thresh=0.1, pad=2)
+    if shape_bucket:
+        mima = _bucket_box(mima, sim_shape, shape_bucket)
+        mi, ma = mima
+        crops = [
+            t[..., mi[0]:ma[0], mi[1]:ma[1], mi[2]:ma[2]]
+            for t in (sim, vol_u8)
+        ]
     csim, cvol = crops
     cref = jnp.broadcast_to(cvol[None], (3,) + tuple(cvol.shape))
     csolved = apply_bilateral_solver3d(

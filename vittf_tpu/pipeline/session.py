@@ -40,11 +40,15 @@ class InteractiveSession:
         features: np.ndarray,
         bilateral_solver: bool = False,
         impl: str = "auto",
+        bls_shape_bucket: int | None = 8,
     ):
         self.volume = jnp.asarray(np.asarray(volume, np.float32))
         self.features = jnp.asarray(np.asarray(features, np.float32))
         self.bilateral_solver = bilateral_solver
         self.impl = impl
+        # interactive frames bucket the BLS crop shape so solver graphs
+        # are reused across annotation changes
+        self.bls_shape_bucket = bls_shape_bucket
         self.similarities: dict[str, jnp.ndarray] = {}
 
     @classmethod
@@ -73,6 +77,7 @@ class InteractiveSession:
         sims = compute_similarities(
             self.volume, self.features, annotations,
             bilateral_solver=self.bilateral_solver, impl=self.impl,
+            bls_shape_bucket=self.bls_shape_bucket,
         )
         self.similarities = sims or {}
         return self.similarities
