@@ -109,6 +109,30 @@ def test_all_axes_sum_parity(model_pair, volume):
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
 
 
+def test_patch14_dinov2_geometry():
+    """DINOv2 geometry: patch 14, LayerScale, non-square token grids."""
+    import jax
+
+    from vittf_tpu.models.vit import ViTConfig, init_vit_params
+
+    cfg14 = ViTConfig(
+        patch_size=14, embed_dim=36, depth=1, num_heads=4,
+        img_size=28, layerscale=True,
+    )
+    params = init_vit_params(cfg14, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    vol = rng.random((28, 42, 56)).astype(np.float32)
+    # fos=3: ref_fact = 42/3 = 14 → im (28, 42, 56), feat (2, 3, 4)
+    im, f = compute_im_sizes(vol.shape, 3, 14)
+    assert im == (28, 42, 56) and f == (2, 3, 4)
+    cfg = ExtractConfig(
+        feature_output_size=3, slice_along="all", batch_size=8, attn_impl="xla"
+    )
+    out = extract_features(jnp.asarray(vol), params, cfg14, cfg)["k"]
+    assert out.shape == (36, 2, 3, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_return_multiple_keys(model_pair, volume):
     _, params = model_pair
     cfg = ExtractConfig(
