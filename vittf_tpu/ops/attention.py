@@ -33,18 +33,22 @@ def _on_tpu() -> bool:
         return False
 
 
-def _fused_attention_kernel(nv_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
-    """One q-block vs full K/V for one (batch·head): fused softmax attention."""
-    q = q_ref[0]  # (Bq, hd)
+def _fused_attention_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref):
+    """One q-block vs full K/V for one (batch·head): fused softmax attention.
+
+    The kernel is VPU-bound (every elementwise op walks the (Bq, Np) score
+    tile), so passes are minimized: the 1/√d scale is pre-folded into q by
+    the wrapper, and key-padding masking is one additive (1, Np) bias row
+    instead of iota + compare + select.
+    """
+    q = q_ref[0]  # (Bq, hd), pre-scaled
     k = k_ref[0]  # (Np, hd)
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (Bq, Np)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < nv_ref[0], s, -jnp.inf)
+    ) + mask_ref[:]  # (Bq, Np); padded columns get -1e30
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -65,16 +69,20 @@ def _attention_pallas(q, k, v, num_heads):
         x = x.reshape(B * H, N, hd)
         return jnp.pad(x, ((0, 0), (0, npad - N), (0, 0)))
 
-    qp, kp, vp = prep(q), prep(k), prep(v)
-    n_valid = jnp.full((1,), N, dtype=jnp.int32)
+    qp, kp, vp = prep(q * jnp.asarray(scale, q.dtype)), prep(k), prep(v)
+    mask = jnp.where(
+        jnp.arange(npad) < N, 0.0, -1e30
+    ).astype(jnp.float32)[None]  # (1, Np)
 
     grid = (B * H, npad // _Q_BLOCK)
     out = pl.pallas_call(
-        functools.partial(_fused_attention_kernel, scale=scale),
+        _fused_attention_kernel,
         out_shape=jax.ShapeDtypeStruct((B * H, npad, hd), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, npad), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (1, _Q_BLOCK, hd), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
             ),
@@ -93,7 +101,7 @@ def _attention_pallas(q, k, v, num_heads):
             bytes_accessed=3 * B * H * npad * hd * q.dtype.itemsize,
             transcendentals=B * H * npad * npad,
         ),
-    )(n_valid, qp, kp, vp)
+    )(mask, qp, kp, vp)
     return out[:, :N].reshape(B, H, N, hd)
 
 
