@@ -67,6 +67,7 @@ def main():
     t0 = time.perf_counter()
     feats = extract_features(vol, params, cfg, ex_cfg)["k"]
     feats.block_until_ready()
+    _ = float(feats[0, 0, 0, 0])  # scalar D2H fence
     t_extract = time.perf_counter() - t0
     log(f"extract (full sweep, reference-parity semantics): {t_extract:.3f}s")
 
@@ -79,22 +80,28 @@ def main():
     t0 = time.perf_counter()
     f2 = extract_features(vol, params, cfg, fast_cfg)["k"]
     f2.block_until_ready()
+    _ = float(f2[0, 0, 0, 0])  # scalar D2H fence
     t_fast = time.perf_counter() - t0
     log(f"extract (slice-subsample fast mode): {t_fast:.3f}s")
 
     # ---- similarity: 5 classes × 256 annotations ----
+    # NOTE: block_until_ready under-reports on the tunnel transport; fence
+    # every timing with a scalar device→host fetch (includes one RTT).
+    def fence(sims):
+        return int(np.asarray(next(iter(sims.values()))[0, 0, 0]))
+
     annotations = {
         f"cls{i}": rng.integers(0, size, (256, 3)).astype(np.int64)
         for i in range(5)
     }
     t0 = time.perf_counter()
     sims = compute_similarities(vol, feats, annotations)
-    jax.block_until_ready(sims)
+    fence(sims)
     log(f"similarity compile+run: {time.perf_counter() - t0:.3f}s")
 
     t0 = time.perf_counter()
     sims = compute_similarities(vol, feats, annotations)
-    jax.block_until_ready(sims)
+    fence(sims)
     t_sim = time.perf_counter() - t0
     log(f"similarity: {t_sim:.3f}s; maps: { {k: v.shape for k, v in sims.items()} }")
 
@@ -107,7 +114,7 @@ def main():
         }
         t0 = time.perf_counter()
         s = compute_similarities(vol, feats, ann)
-        jax.block_until_ready(s)
+        fence(s)
         lat.append(time.perf_counter() - t0)
     p50 = float(np.median(lat))
     log(f"interactive re-similarity p50: {p50*1e3:.1f}ms (n=10)")
