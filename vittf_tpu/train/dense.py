@@ -81,10 +81,11 @@ def drop_labels(
 
 @partial(jax.jit, static_argnames=("cfg", "opt", "num_classes"))
 def _dense_step(
-    params, head_params, opt_state, vol, pos_idx, neg_idx, pos_cls,
+    params, head_params, opt_state, vol, pos_idx, neg_idx, pos_cls, std_idx,
     cfg: DenseContrastiveConfig, opt, num_classes: int,
 ):
-    """pos_idx (S, 2, 3) pairs; neg_idx (S, N, 3); pos_cls (S,) class ids."""
+    """pos_idx (S, 2, 3) pairs; neg_idx (S, N, 3); pos_cls (S,) class ids;
+    std_idx (C, K, 3) per-class voxel samples for the std regularizer."""
     pad = cfg.rec_field // 2
 
     def loss_fn(p):
@@ -119,7 +120,11 @@ def _dense_step(
             loss = loss + cfg.lambda_ce * ce
             aux["ce"] = ce
         if cfg.lambda_std > 0:
-            std = pos.std()
+            # reference: sum over classes of the global std of each class's
+            # normalized features (old/train.py:155); estimated here over K
+            # sampled voxels per class
+            cls_feats = gather(std_idx)  # (F, C, K)
+            std = cls_feats.std(axis=(0, 2)).sum()
             loss = loss + cfg.lambda_std * std
             aux["std"] = std
         aux["loss"] = loss
@@ -192,7 +197,7 @@ class DenseContrastiveTrainer:
         self.opt_state = self.opt.init((self.params, self.head_params))
         self.history: list[dict] = []
 
-    def step(self) -> dict:
+    def step(self, std_samples: int = 256) -> dict:
         S = self.cfg.samples_per_iteration
         pos, neg, cls = [], [], []
         for _ in range(S):
@@ -204,10 +209,19 @@ class DenseContrastiveTrainer:
                 pos.append(own[self.rng.choice(own.shape[0], 2, replace=False)])
                 neg.append(other[self.rng.choice(other.shape[0], self.cfg.neg_count)])
                 cls.append(i)
+        std_idx = np.stack(
+            [
+                idx[self.rng.choice(idx.shape[0], std_samples)]
+                if idx.shape[0]
+                else np.zeros((std_samples, 3), np.int64)
+                for idx in self.class_indices.values()
+            ]
+        )
         self.params, self.head_params, self.opt_state, aux = _dense_step(
             self.params, self.head_params, self.opt_state, self.vol,
             jnp.asarray(np.stack(pos)), jnp.asarray(np.stack(neg)),
-            jnp.asarray(np.asarray(cls)), self.cfg, self.opt, self.num_classes,
+            jnp.asarray(np.asarray(cls)), jnp.asarray(std_idx),
+            self.cfg, self.opt, self.num_classes,
         )
         rec = {k: float(v) for k, v in aux.items()}
         self.history.append(rec)

@@ -86,8 +86,11 @@ def paws_train_step(
     anc_crops = gather_receptive_fields(vol4, anc_centers, ks=cfg.rec_field)
     anc_crops = transform_paws_crops(anc_crops, key, noise_std=cfg.noise_std)
     crops = jnp.concatenate([sup_crops, anc_crops], axis=0)
-    # support labels: identity rows repeated M× (train_semisup_sparse.py:140-142)
-    label = jnp.tile(jnp.eye(num_classes), (M, 1))
+    # Support labels are class-BLOCKED to match sup_centers' layout. NOTE:
+    # the reference builds class-CYCLING labels against class-blocked
+    # supports (train_semisup_sparse.py:140-142 vs :154) — a label/crop
+    # mismatch whenever M > 1; corrected here rather than reproduced.
+    label = jnp.repeat(jnp.eye(num_classes), M, axis=0)
 
     def loss_fn(p):
         (feat, pred, clas), new_bn = pawsnet_forward(
