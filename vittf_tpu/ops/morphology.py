@@ -102,7 +102,9 @@ def binary_fill_holes(mask: jnp.ndarray, max_iter: int | None = None) -> jnp.nda
     mask = jnp.asarray(mask).astype(bool)
     nd = mask.ndim
     if max_iter is None:
-        max_iter = int(np.sum(mask.shape))  # diameter bound
+        # worst-case flood path (snaking cavities) is bounded by the voxel
+        # count; the while_loop exits at the fixed point long before
+        max_iter = int(np.prod(mask.shape))
 
     free = ~mask
 

@@ -127,7 +127,13 @@ def summarize_userstudy(
     sus_stddevs: list[float] | None = None,
 ) -> dict:
     """Aggregate per-user GUI-session metrics.json files + SUS summary
-    (summarize_userstudy.py flow). Writes a summary JSON and returns it."""
+    (summarize_userstudy.py flow). Writes a summary JSON and returns it.
+
+    Deviation: for binary per-class metric lists [background, foreground]
+    this takes the FOREGROUND entry; the reference's ``use_first`` takes
+    element 0 (the background row) — almost certainly unintended, since
+    the summary is about per-organ segmentation quality.
+    """
 
     def first(a):
         return a[1] if isinstance(a, (list, tuple)) and len(a) > 1 else (

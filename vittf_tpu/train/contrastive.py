@@ -114,11 +114,16 @@ class ContrastiveTrainer:
         self.opt_state = self.opt.init(self.params)
         self.history: list[dict] = []
 
+    def _choice(self, n_avail, n_want):
+        # torch.multinomial draws without replacement (old/train_semisparse
+        # :161-168); fall back to replacement only when the class is smaller
+        # than the request
+        return self.rng.choice(n_avail, size=n_want, replace=n_avail < n_want)
+
     def _draw(self, n_per_class):
         out = []
         for c, idxs in sorted(self.class_indices.items()):
-            sel = self.rng.choice(idxs.shape[0], size=n_per_class, replace=True)
-            out.append(idxs[sel])
+            out.append(idxs[self._choice(idxs.shape[0], n_per_class)])
         return jnp.asarray(np.stack(out))
 
     def _draw_negatives(self, n):
@@ -130,8 +135,7 @@ class ContrastiveTrainer:
             other = np.concatenate(
                 [self.class_indices[o] for o in classes if o != c]
             )
-            sel = self.rng.choice(other.shape[0], size=n, replace=True)
-            out.append(other[sel])
+            out.append(other[self._choice(other.shape[0], n)])
         return jnp.asarray(np.stack(out))
 
     def step(self):
