@@ -25,8 +25,10 @@ PERMUTES = {
 }
 
 
-def torch_compute_k(vol, tmodel, patch, im_sz, pool_size, slice_along, batch_size=3):
-    """Faithful re-statement of reference infer.py:130-210 for key 'k'."""
+def torch_compute_k(vol, tmodel, patch, im_sz, pool_size, slice_along,
+                    batch_size=3, key_idx=1):
+    """Faithful re-statement of reference infer.py:130-210 (key_idx: 0=q,
+    1=k, 2=v)."""
     permute_in, permute_out = PERMUTES[slice_along]
     image_sizes = {
         "z": (im_sz[0], im_sz[1]),
@@ -47,7 +49,7 @@ def torch_compute_k(vol, tmodel, patch, im_sz, pool_size, slice_along, batch_siz
     nb_im, nb_tokens = merged.shape[0], merged.shape[1]
     nh = tmodel.cfg.num_heads
     qkv_r = merged.view(nb_im, nb_tokens, 3, nh, -1).permute(2, 0, 3, 1, 4)
-    k = qkv_r[1].transpose(1, 2).reshape(nb_im, nb_tokens, -1)[:, 1:]
+    k = qkv_r[key_idx].transpose(1, 2).reshape(nb_im, nb_tokens, -1)[:, 1:]
     f_sz = (sz2d[0] // patch, sz2d[1] // patch)
     k = k.view(nb_im, f_sz[0], f_sz[1], -1).permute(0, 3, 1, 2)
     k = k.permute(*permute_out)
@@ -134,12 +136,20 @@ def test_patch14_dinov2_geometry():
 
 
 def test_return_multiple_keys(model_pair, volume):
-    _, params = model_pair
+    """q/k/v extraction, each parity-checked against the torch replica."""
+    tmodel, params = model_pair
+    im_sz, feat_sz = compute_im_sizes(volume.shape, 4, TINY.patch_size)
     cfg = ExtractConfig(
         feature_output_size=4, slice_along="z", batch_size=4,
         return_keys=("q", "k", "v"), precision="highest", attn_impl="xla",
     )
     out = extract_features(jnp.asarray(volume), params, TINY, cfg)
     assert set(out) == {"q", "k", "v"}
-    shapes = {v.shape for v in out.values()}
-    assert len(shapes) == 1
+    for idx, key in enumerate(["q", "k", "v"]):
+        want = torch_compute_k(
+            torch.from_numpy(volume), tmodel, TINY.patch_size, im_sz, feat_sz,
+            "z", key_idx=idx,
+        ).numpy()
+        np.testing.assert_allclose(
+            np.asarray(out[key]), want, rtol=2e-4, atol=2e-4
+        )

@@ -52,6 +52,21 @@ def test_stack_block_params_shapes():
         stack_block_params(params, 3)
 
 
+def test_pp_with_layerscale(rng):
+    """DINOv2-style blocks (LayerScale) stack and pipeline correctly."""
+    cfg = ViTConfig(patch_size=4, embed_dim=32, depth=4, num_heads=4,
+                    img_size=16, layerscale=True)
+    params = init_vit_params(cfg, jax.random.PRNGKey(2))
+    x = jnp.asarray(rng.standard_normal((2, 3, 16, 16)).astype(np.float32))
+    want, _ = vit_forward(params, x, cfg, precision="highest", attn_impl="xla")
+    got, _ = pp_vit_forward(
+        params, x, cfg, _pipe_mesh(2), n_micro=2,
+        precision="highest", attn_impl="xla",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pp_rejects_bad_microbatching(rng):
     cfg = ViTConfig(patch_size=4, embed_dim=32, depth=4, num_heads=4, img_size=16)
     params = init_vit_params(cfg, jax.random.PRNGKey(0))

@@ -65,6 +65,50 @@ def test_sample_features3d_parity(rng, mode):
     assert got.shape == (1, 1, 11, F_dim)
 
 
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+def test_grid_sample_2d_parity(rng, mode):
+    inp = rng.standard_normal((3, 4, 6, 7)).astype(np.float32)
+    grid = (rng.random((3, 5, 2, 2)).astype(np.float32) * 2.6) - 1.3
+    from vittf_tpu.ops.sampling import grid_sample_2d
+
+    got = np.asarray(grid_sample_2d(jnp.asarray(inp), jnp.asarray(grid), mode=mode))
+    want = F.grid_sample(
+        torch.from_numpy(inp), torch.from_numpy(grid),
+        mode=mode, align_corners=False, padding_mode="zeros",
+    ).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+def test_sample_features2d_parity(rng, mode):
+    """Slice-indexed 2D sampling vs a torch replica of cluster_dino.py:31-46."""
+    from vittf_tpu.ops.sampling import sample_features2d
+
+    F_dim, W, H, D = 6, 5, 7, 9
+    feat = rng.standard_normal((1, F_dim, W, H, D)).astype(np.float32)
+    C_cls, A = 2, 4
+    abs_coords = np.stack(
+        [rng.integers(0, s, (C_cls, A)) for s in (W, H, D)], axis=-1
+    ).astype(np.int64)
+    rel = (abs_coords.astype(np.float32) + 0.5) / np.array([W, H, D]) * 2 - 1
+
+    got = np.asarray(
+        sample_features2d(jnp.asarray(feat), jnp.asarray(abs_coords),
+                          jnp.asarray(rel), mode=mode)
+    )
+    tf_ = torch.from_numpy(feat)
+    slices = tf_.squeeze(0).permute(3, 0, 1, 2)[
+        torch.from_numpy(abs_coords.reshape(-1, 3))[:, 2]
+    ]
+    grid_idx = torch.from_numpy(rel.reshape(-1, 3))[:, None, None, [1, 0]].float()
+    want = (
+        F.grid_sample(slices, grid_idx, mode=mode, align_corners=False)
+        .reshape(C_cls, A, F_dim)
+        .numpy()
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_sample_features3d_exact_voxel_centers(rng):
     """Sampling at voxel centers with bilinear must return the voxel value."""
     F_dim, W, H, D = 4, 8, 8, 8

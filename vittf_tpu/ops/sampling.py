@@ -133,6 +133,82 @@ def sample_features3d(
     return jnp.transpose(feats[..., 0], (0, 2, 3, 1))  # (M, C, A, F)
 
 
+def _grid_sample_2d_one(inp, points, mode, align_corners):
+    """inp (C, H, W); points (P, 2) with (x, y) normalized coords."""
+    C, H, W = inp.shape
+    inp_flat = inp.reshape(C, H * W)
+    x = _unnormalize(points[:, 0], W, align_corners)
+    y = _unnormalize(points[:, 1], H, align_corners)
+
+    def gather(iy, ix):
+        valid = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+        flat = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+        vals = jnp.take(inp_flat, flat, axis=1)
+        return jnp.where(valid[None, :], vals, 0.0)
+
+    if mode == "nearest":
+        return gather(jnp.round(y).astype(jnp.int32), jnp.round(x).astype(jnp.int32))
+    ix0 = jnp.floor(x).astype(jnp.int32)
+    iy0 = jnp.floor(y).astype(jnp.int32)
+    wx = x - ix0
+    wy = y - iy0
+    out = jnp.zeros((C, points.shape[0]), dtype=inp.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            w = (wx if dx else 1.0 - wx) * (wy if dy else 1.0 - wy)
+            out = out + gather(iy0 + dy, ix0 + dx) * w[None, :]
+    return out
+
+
+def grid_sample_2d(
+    inp: jnp.ndarray,
+    grid: jnp.ndarray,
+    mode: str = "bilinear",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """torch-parity 2D grid sample with zero padding.
+
+    inp (N, C, H, W); grid (N, *out_dims, 2) with (x→W, y→H) coords.
+    Returns (N, C, *out_dims).
+    """
+    N, C = inp.shape[:2]
+    out_dims = grid.shape[1:-1]
+    points = grid.reshape(N, -1, 2).astype(jnp.float32)
+    sampled = jax.vmap(
+        lambda i, p: _grid_sample_2d_one(i.astype(jnp.float32), p, mode, align_corners)
+    )(inp, points)
+    return sampled.reshape(N, C, *out_dims).astype(inp.dtype)
+
+
+def sample_features2d(
+    feat_vol: jnp.ndarray,
+    abs_coords: jnp.ndarray,
+    rel_coords: jnp.ndarray,
+    mode: str = "nearest",
+) -> jnp.ndarray:
+    """Slice-indexed 2D feature sampling (reference old/cluster_dino.py:31-46).
+
+    The un-reduced axis D is indexed by the absolute z coordinate, then the
+    (W, H) plane is grid-sampled at the relative coords.
+
+    Args:
+        feat_vol:   (1, F, W, H, D) or (F, W, H, D)
+        abs_coords: (C, A, 3) integer voxel coords (z taken from [:, :, 2])
+        rel_coords: (C, A, 3) relative coords
+
+    Returns:
+        (C, A, F)
+    """
+    feat_vol = make_5d(feat_vol)[0]  # (F, W, H, D)
+    C_cls, A = abs_coords.shape[:2]
+    z = abs_coords.reshape(-1, 3)[:, 2].astype(jnp.int32)
+    slices = jnp.moveaxis(feat_vol, -1, 0)[z]  # (C·A, F, W, H)
+    # torch sees (N, C, H_in=W, W_in=H): grid x ← rel[1] (H), y ← rel[0] (W)
+    grid = rel_coords.reshape(-1, 3)[:, None, None, [1, 0]]
+    feats = grid_sample_2d(slices, grid, mode=mode)  # (C·A, F, 1, 1)
+    return feats.reshape(C_cls, A, feat_vol.shape[0])
+
+
 def rel_coords_from_abs(abs_coords: jnp.ndarray, vol_shape) -> jnp.ndarray:
     """Voxel indices → [-1, 1] relative coords (predict_ntf.py:56 parity)."""
     extent = jnp.asarray(vol_shape, dtype=jnp.float32)
