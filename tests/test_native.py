@@ -115,6 +115,26 @@ class RgbSparseOracle:
         return self.S.T @ y
 
 
+def test_sparse_solver_bucket_reuse(rng):
+    """Slightly different vertex counts land in the same power-of-two bucket
+    and must reuse the jitted solver (no shape error, consistent outputs)."""
+    import jax.numpy as jnp
+
+    W, H, D = 8, 8, 8
+    t = (rng.random((W, H, D)) > 0.5).astype(np.float32)
+    c = np.full((W, H, D), 0.9, np.float32)
+    outs = []
+    for seed in (0, 1):
+        r = (np.random.default_rng(seed).integers(0, 4, (3, W, H, D)) * 64).astype(np.uint8)
+        out = apply_bilateral_solver3d_rgb(
+            jnp.asarray(t), r, jnp.asarray(c),
+            grid_params={"sigma_spatial": 3, "sigma_luma": 32, "sigma_chroma": 32},
+        )
+        outs.append(np.asarray(out))
+    assert all(np.isfinite(o).all() for o in outs)
+    assert outs[0].shape == outs[1].shape == (W, H, D)
+
+
 def test_rgb_sparse_solver_vs_oracle(rng):
     import jax.numpy as jnp
 
