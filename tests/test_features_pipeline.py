@@ -111,6 +111,40 @@ def test_all_axes_sum_parity(model_pair, volume):
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
 
 
+def test_rgb_volume_extraction_parity(model_pair, rng):
+    """Multi-channel volumes (old/infer_multi.py path): the 3 channels feed
+    the ViT directly instead of the 1→3 replication."""
+    tmodel, params = model_pair
+    vol3 = rng.random((3, 12, 16, 20)).astype(np.float32)
+    im_sz, feat_sz = compute_im_sizes(vol3.shape[-3:], 4, TINY.patch_size)
+    cfg = ExtractConfig(
+        feature_output_size=4, slice_along="z", batch_size=4,
+        precision="highest", attn_impl="xla",
+    )
+    got = extract_features(jnp.asarray(vol3), params, TINY, cfg)["k"]
+
+    # torch replica: same flow with channels carried through the permute
+    t = torch.from_numpy(vol3)
+    image = t.permute(3, 0, 1, 2)  # (D, 3, W, H) — make_4d(vol).permute for 4D vol
+    image = (image - image.min()) / (image.max() - image.min())
+    image = (image - IN_MEAN) / IN_STD
+    sz2d = (im_sz[0], im_sz[1])
+    outs = []
+    with torch.no_grad():
+        for batch in torch.arange(image.size(0)).split(4):
+            _, qkv = tmodel(F.interpolate(image[batch], size=sz2d, mode="nearest"))
+            outs.append(qkv)
+    merged = torch.cat(outs)
+    nb_im, nb_tokens = merged.shape[0], merged.shape[1]
+    nh = TINY.num_heads
+    qkv_r = merged.view(nb_im, nb_tokens, 3, nh, -1).permute(2, 0, 3, 1, 4)
+    k = qkv_r[1].transpose(1, 2).reshape(nb_im, nb_tokens, -1)[:, 1:]
+    f_sz = (sz2d[0] // TINY.patch_size, sz2d[1] // TINY.patch_size)
+    k = k.view(nb_im, f_sz[0], f_sz[1], -1).permute(0, 3, 1, 2)
+    want = torch.nn.AdaptiveAvgPool3d(feat_sz)(k.permute(1, 2, 3, 0)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
 def test_patch14_dinov2_geometry():
     """DINOv2 geometry: patch 14, LayerScale, non-square token grids."""
     import jax

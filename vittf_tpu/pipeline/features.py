@@ -110,9 +110,11 @@ def _scan_pooled_extraction(
     D = cfg.embed_dim if feature_source == "qkv" else cfg.embed_dim // 3
 
     def body(carry, inp):
-        batch, w_rows = inp  # (B, a, b), (o_ax, B)
-        imgs = resize_nearest(batch[:, None], img_hw)  # (B, 1, h, w)
-        imgs = jnp.broadcast_to(imgs, (batch.shape[0], 3) + img_hw)
+        batch, w_rows = inp  # (B, C, a, b), (o_ax, B)
+        imgs = resize_nearest(batch, img_hw)  # (B, C, h, w)
+        if imgs.shape[1] == 1:
+            # scalar volumes replicate 1→3 channels (infer.py:154)
+            imgs = jnp.broadcast_to(imgs, (batch.shape[0], 3) + img_hw)
         imgs = imagenet_normalize(imgs).astype(dtype)
         _, qkv = vit_forward_raw(
             params, imgs, cfg, precision=precision, attn_impl=attn_impl,
@@ -158,11 +160,20 @@ def prepare_axis_batches(
     vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size,
     slice_subsample: bool = False,
 ):
-    """Permute to slices, pad to batch multiple, build pool weights."""
+    """Permute to slices, pad to batch multiple, build pool weights.
+
+    ``vol_normed`` is (W, H, D) scalar or (C, W, H, D) multi-channel (the
+    reference's old/infer_multi.py RGB path — its permutes put channels in
+    the image-channel slot the same way). Slices come out (S, C, a, b).
+    """
     perm, img_hw, f_hw, o_ax, out_axis = _axis_geometry(
         cfg, axis, im_sz, feat_out_sz
     )
-    slices = jnp.transpose(vol_normed, perm)  # (S, a, b)
+    if vol_normed.ndim == 3:
+        vol_normed = vol_normed[None]  # (1, W, H, D)
+    slices = jnp.transpose(
+        vol_normed, (perm[0] + 1, 0, perm[1] + 1, perm[2] + 1)
+    )  # (S, C, a, b)
     S = slices.shape[0]
     if slice_subsample and S > o_ax:
         # one picked slice per output slot → pooling matrix is identity
@@ -178,7 +189,9 @@ def prepare_axis_batches(
         np.pad(pool_mat, ((0, 0), (0, nb * batch_size - S))),
         dtype=jnp.float32,
     )
-    slices = jnp.pad(slices, ((0, nb * batch_size - S), (0, 0), (0, 0)))
+    slices = jnp.pad(
+        slices, ((0, nb * batch_size - S),) + ((0, 0),) * (slices.ndim - 1)
+    )
     slices_b = slices.reshape(nb, batch_size, *slices.shape[1:])
     w_pool_b = w_pool.reshape(o_ax, nb, batch_size).transpose(1, 0, 2)
     return slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis)
@@ -236,7 +249,9 @@ def extract_features(
 ) -> dict[str, jnp.ndarray]:
     """Full feature extraction over one, or all three, volume axes.
 
-    Returns {key: (F, o0, o1, o2) float32} — for ``slice_along='all'`` the
+    ``vol`` is (W, H, D) scalar or (3, W, H, D) RGB (the old/infer_multi.py
+    multi-channel path, channels fed to the ViT directly). Returns
+    {key: (F, o0, o1, o2) float32} — for ``slice_along='all'`` the
     per-axis pooled volumes are summed (infer.py:327-333; the reference's
     fp16 accumulation is widened to fp32 here, stored half by the CLI).
     """
@@ -244,7 +259,7 @@ def extract_features(
 
     vol = jnp.asarray(vol, dtype=jnp.float32)
     im_sz, feat_out_sz = compute_im_sizes(
-        vol.shape, cfg.feature_output_size, model_cfg.patch_size
+        vol.shape[-3:], cfg.feature_output_size, model_cfg.patch_size
     )
     vol_normed = norm_minmax(vol)
 
