@@ -41,6 +41,10 @@ def build_parser() -> ArgumentParser:
     d.add_argument("--data", type=Path, required=True)
     d.add_argument("--output", type=Path, required=True)
     d.add_argument("--nifti", action="store_true")
+
+    n = sub.add_parser("nifti")
+    n.add_argument("--data", type=Path, required=True)
+    n.add_argument("--output", type=Path, default=None)
     return p
 
 
@@ -65,6 +69,8 @@ def main(argv=None) -> int:
                     print(e)
     elif args.cmd == "dcm":
         cv.dcm_to_npy(args.data, args.output, save_nifti=args.nifti)
+    elif args.cmd == "nifti":
+        cv.nifti_to_npy(args.data, args.output)
     return 0
 
 

@@ -60,6 +60,19 @@ def tiff_to_npy(tiff_dir: str | Path, out_path: str | Path) -> np.ndarray:
     return vol
 
 
+def nifti_to_npy(
+    nii_path: str | Path, out_path: str | Path | None = None
+) -> np.ndarray:
+    """NIfTI volume → npy (the notebooks/convert_nifti.ipynb capability)."""
+    nb = _require("nibabel")
+    nii_path = Path(nii_path)
+    vol = np.asanyarray(nb.load(str(nii_path)).dataobj)
+    if out_path is None:
+        out_path = nii_path.with_suffix("").with_suffix(".npy")
+    np.save(out_path, vol)
+    return vol
+
+
 def raw_to_npy(
     raw_path: str | Path,
     shape: tuple[int, ...],
