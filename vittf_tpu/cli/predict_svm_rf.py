@@ -110,12 +110,30 @@ def main(argv=None) -> int:
     )
     for name, res in results.items():
         np.save(d / f"{name}_pred{suffix}.npy", res["pred"])
+        _save_pred_histogram(res["pred"], name, d / f"{name}_pred{suffix}.png")
         if "metrics" in res:
             with open(d / f"{name}_metrics{suffix}.json", "w") as f:
                 json.dump(res["metrics"], f)
             print(f"{name}: mIoU={res['metrics']['mIoU']:.4f} "
                   f"fit={res['fit_time']:.1f}s predict={res['predict_time']:.1f}s")
     return 0
+
+
+def _save_pred_histogram(pred: np.ndarray, title: str, out_path) -> None:
+    """Prediction label histogram figure (predict_svm_rf.py:181-219 saves
+    the same per-classifier histograms)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(dpi=150, tight_layout=True)
+    flat = pred.reshape(-1)
+    ax.hist(flat, bins=np.arange(flat.max() + 2) - 0.5)
+    ax.set_title(title)
+    ax.set_xlabel("predicted label")
+    fig.savefig(out_path)
+    plt.close(fig)
 
 
 if __name__ == "__main__":
