@@ -49,6 +49,29 @@ def _build_artifacts():
     }
 
 
+def _build_bls_artifacts():
+    from vittf_tpu.pipeline.refine import refine_similarity
+
+    rng = np.random.default_rng(77)
+    vol = rng.random((20, 20, 20)).astype(np.float32)
+    sim = np.zeros((10, 10, 10), np.float32)
+    sim[2:8, 3:9, 2:7] = rng.random((6, 6, 5)).astype(np.float32)
+    refined = refine_similarity(jnp.asarray(sim), jnp.asarray(vol), (10, 10, 10))
+    return {"refined": np.asarray(refined, np.float32)}
+
+
+def test_golden_bls_stable():
+    golden_path = GOLDEN_DIR / "bls_refined.npz"
+    if not golden_path.exists():
+        pytest.skip("golden file missing — run with --regenerate")
+    golden = np.load(golden_path)
+    got = _build_bls_artifacts()
+    # CG on CPU is deterministic; tolerance guards fp reassociation only
+    np.testing.assert_allclose(
+        got["refined"], golden["refined"], rtol=1e-5, atol=1e-6
+    )
+
+
 def test_golden_artifacts_stable():
     golden_path = GOLDEN_DIR / "tiny_pipeline.npz"
     if not golden_path.exists():
@@ -73,4 +96,5 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
         GOLDEN_DIR.mkdir(exist_ok=True)
         np.savez_compressed(GOLDEN_DIR / "tiny_pipeline.npz", **_build_artifacts())
-        print(f"Wrote {GOLDEN_DIR / 'tiny_pipeline.npz'}")
+        np.savez_compressed(GOLDEN_DIR / "bls_refined.npz", **_build_bls_artifacts())
+        print(f"Wrote goldens into {GOLDEN_DIR}")

@@ -54,6 +54,41 @@ def test_sharded_similarity_matches_single_device(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_extraction_with_slice_subsample(model_pair, rng):
+    """The fast mode must also be exact under DP sharding."""
+    _, params = model_pair
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    cfg = ExtractConfig(
+        feature_output_size=4, slice_along="z", batch_size=2,
+        precision="highest", attn_impl="xla", slice_subsample=True,
+    )
+    want = extract_features(jnp.asarray(vol), params, TINY, cfg)["k"]
+    got = extract_features_sharded(
+        jnp.asarray(vol), params, TINY, cfg, make_mesh(data=2)
+    )["k"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_similarity_mean_first(rng):
+    from vittf_tpu.ops.similarity import similarity_xla
+
+    N, F_dim = 512, 8
+    counts = [1500]
+    feats = (rng.standard_normal((N, F_dim)) * 0.2).astype(np.float32)
+    qf = (rng.standard_normal((sum(counts), F_dim)) * 0.1).astype(np.float32)
+    m = jnp.asarray(class_mean_matrix(counts, sum(counts)))
+    want = np.asarray(
+        similarity_xla(jnp.asarray(feats), jnp.asarray(qf), m, mean_first=True)
+    )
+    got = np.asarray(
+        similarity_sharded(
+            jnp.asarray(feats), jnp.asarray(qf), m, make_mesh(data=4),
+            mean_first=True, impl="xla",
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_tensor_parallel_vit_forward(model_pair, rng):
     """GSPMD TP: params sharded over 'model', forward matches replicated."""
     from vittf_tpu.models.vit import vit_forward

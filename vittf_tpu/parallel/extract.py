@@ -69,7 +69,8 @@ def extract_features_sharded(
     out: dict[str, jnp.ndarray] = {}
     for ax in axes:
         slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis) = prepare_axis_batches(
-            vol_normed, model_cfg, ax, im_sz, feat_out_sz, cfg.batch_size
+            vol_normed, model_cfg, ax, im_sz, feat_out_sz, cfg.batch_size,
+            cfg.slice_subsample,
         )
         slices_b, w_pool_b = _pad_batches_to(slices_b, w_pool_b, ndata)
 
@@ -86,12 +87,18 @@ def extract_features_sharded(
             acc = _scan_pooled_extraction(
                 p, sb, wb, model_cfg, img_hw, f_hw, o_ax,
                 key_idx, cfg.precision, cfg.attn_impl, dtype,
+                cfg.feature_source,
             )
             return tuple(jax.lax.psum(a, "data") for a in acc)
 
         acc = jax.jit(run)(params, slices_b, w_pool_b)
+        D = (
+            model_cfg.embed_dim
+            if cfg.feature_source == "qkv"
+            else model_cfg.embed_dim // 3
+        )
         axis_feats = {
-            name: _pooled_to_volume(pooled, f_hw, o_ax, out_axis, model_cfg.embed_dim)
+            name: _pooled_to_volume(pooled, f_hw, o_ax, out_axis, D)
             for name, pooled in zip(cfg.return_keys, acc)
         }
         if cfg.slice_along == "all":
