@@ -140,6 +140,28 @@ def test_batch_fanout(tmp_path, rng):
     assert len(_volume_dirs(tmp_path, "0/2")) == 1
 
 
+def test_batch_infer_all(tmp_path, rng):
+    """infer-all fan-out: extracts features per volume dir, skips existing."""
+    from vittf_tpu.cli.batch import main
+
+    for name in ("v1", "v2"):
+        d = tmp_path / name
+        d.mkdir()
+        np.save(d / "volume.npy", rng.random((12, 12, 12)).astype(np.float32))
+    rc = main(
+        ["infer-all", "--root", str(tmp_path), "--feature-output-size", "6"]
+    )
+    assert rc == 0
+    for name in ("v1", "v2"):
+        feats = list((tmp_path / name).glob("*features*"))
+        assert len(feats) == 1, feats
+    # idempotent second pass (cache guard exits per volume)
+    rc = main(
+        ["infer-all", "--root", str(tmp_path), "--feature-output-size", "6"]
+    )
+    assert rc == 0
+
+
 def test_sweep_runner(tmp_path, train_data):
     from vittf_tpu.cli.sweep import expand_grid, main
 
