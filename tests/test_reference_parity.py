@@ -1,0 +1,234 @@
+"""TRUE reference-code parity: run the reference's own functions (imported
+from /root/reference, read-only) against this framework on identical
+inputs. Stronger evidence than the torch replicas elsewhere — these ARE
+the reference's numerics. Skipped wholesale when the reference checkout
+isn't present (the framework stands alone).
+"""
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not REF.exists(), reason="reference checkout not available"
+)
+
+if REF.exists():
+    sys.path.insert(0, str(REF))
+    # predict_ntf imports icecream (not installed); a print-free stub suffices
+    if "icecream" not in sys.modules:
+        sys.modules["icecream"] = types.SimpleNamespace(ic=lambda *a, **k: None)
+
+import jax.numpy as jnp  # noqa: E402
+import torch  # noqa: E402
+
+from tests.test_vit import TINY, _make_pair  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref_infer():
+    import infer as mod
+
+    # compute_qkv references a torchvision `normalize` global bound in the
+    # reference's __main__; provide the equivalent
+    def normalize(t, mean, std):
+        mean = torch.tensor(mean).view(1, -1, 1, 1)
+        std = torch.tensor(std).view(1, -1, 1, 1)
+        return (t - mean) / std
+
+    mod.normalize = normalize
+    return mod
+
+
+@pytest.fixture(scope="module")
+def model_pair():
+    return _make_pair(TINY, seed=21)
+
+
+def test_sample_features3d_vs_reference(ref_infer, rng):
+    from vittf_tpu.ops.sampling import sample_features3d
+
+    F_dim, W, H, D = 6, 5, 7, 9
+    feat = rng.standard_normal((F_dim, W, H, D)).astype(np.float32)
+    rel = (rng.random((2, 8, 3)).astype(np.float32) * 2 - 1)
+    for mode in ("bilinear", "nearest"):
+        want = ref_infer.sample_features3d(
+            torch.from_numpy(feat.copy()), torch.from_numpy(rel.copy()), mode=mode
+        ).numpy()
+        got = np.asarray(
+            sample_features3d(jnp.asarray(feat), jnp.asarray(rel), mode=mode)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_compute_qkv_vs_reference(ref_infer, model_pair, rng):
+    """The hot path: the reference's compute_qkv (hooks, permutes, resize,
+    pooling) vs this framework's fused extraction, same torch model."""
+    from vittf_tpu.pipeline.features import (
+        ExtractConfig,
+        compute_im_sizes,
+        extract_features,
+    )
+
+    tmodel, params = model_pair
+    vol = rng.random((12, 16, 20)).astype(np.float32)
+    im_sz, feat_sz = compute_im_sizes(vol.shape, 4, TINY.patch_size)
+
+    total = None
+    with torch.no_grad():
+        for ax in ["z", "y", "x"]:
+            pool = torch.nn.AdaptiveAvgPool3d(feat_sz)
+            out = ref_infer.compute_qkv(
+                torch.from_numpy(vol.copy()), tmodel, TINY.patch_size, im_sz,
+                pool_fn=pool, batch_size=3, return_keys="k", slice_along=ax,
+                dev=torch.device("cpu"), typ=torch.float32,
+            )["k"]
+            # fresh hooks accumulate across calls in the reference; clear them
+            tmodel.blocks[-1].attn.qkv._forward_hooks.clear()
+            total = out if total is None else total + out
+    want = total.squeeze().numpy()
+
+    cfg = ExtractConfig(
+        feature_output_size=4, slice_along="all", batch_size=3,
+        precision="highest", attn_impl="xla",
+    )
+    got = np.asarray(extract_features(jnp.asarray(vol), params, TINY, cfg)["k"])
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_compute_similarities_vs_reference(ref_infer, rng):
+    """predict_ntf.compute_similarities (the reference's actual similarity
+    engine) vs ours: bit-identical uint8 artifacts."""
+    import predict_ntf as ref_pred
+
+    from vittf_tpu.pipeline.ntf import compute_similarities
+
+    W, H, D = 12, 14, 16
+    F_dim = 8
+    volume = rng.random((W, H, D)).astype(np.float32)
+    features = (rng.standard_normal((F_dim, 6, 7, 8)) * 0.4).astype(np.float32)
+    annotations_np = {
+        "liver": rng.integers(0, 12, (9, 3)).astype(np.int64),
+        "bone": rng.integers(0, 12, (4, 3)).astype(np.int64),
+    }
+    ann_t = {k: torch.from_numpy(v.copy()) for k, v in annotations_np.items()}
+    want = ref_pred.compute_similarities(
+        torch.from_numpy(volume.copy()), torch.from_numpy(features.copy()),
+        ann_t, bilateral_solver=False,
+    )
+    got = compute_similarities(
+        jnp.asarray(volume), jnp.asarray(features), annotations_np, impl="xla"
+    )
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), want[k].numpy())
+
+
+def test_resample_topk_vs_reference(ref_infer, rng):
+    from vittf_tpu.ops.query import resample_topk
+
+    F_dim, W, H, D = 6, 5, 6, 7
+    feat = (rng.standard_normal((F_dim, W, H, D)) * 0.4).astype(np.float32)
+    sims = rng.random((1, 2, 3, W, H, D)).astype(np.float32)
+    want = ref_infer.resample_topk(
+        torch.from_numpy(feat.copy())[None],
+        torch.from_numpy(sims.copy()),
+        K=2, feature_sampling_mode="nearest",
+    ).numpy()
+    got = np.asarray(
+        resample_topk(jnp.asarray(feat), jnp.asarray(sims[0]), K=2,
+                      feature_sampling_mode="nearest")
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_take_most_dissimilar_vs_reference(ref_infer, rng):
+    from vittf_tpu.ops.query import take_most_dissimilar
+
+    feats = rng.standard_normal((20, 8)).astype(np.float32)
+    for measure in ("cosine", "euclidean"):
+        want = ref_infer.take_most_dissimilar(
+            torch.from_numpy(feats.copy()), num_prototypes=5, measure=measure
+        ).numpy()
+        got = np.asarray(
+            take_most_dissimilar(jnp.asarray(feats), 5, measure)
+        )
+        np.testing.assert_allclose(
+            np.sort(got, axis=0), np.sort(want, axis=0), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_crop_pad_vs_reference(rng):
+    import bilateral_solver3d as ref_bls
+
+    from vittf_tpu.ops.crop import crop_pad, write_crop_into
+
+    sim = rng.random((9, 11, 13)).astype(np.float32)
+    sim[sim < 0.85] = 0.0
+    vol = rng.random((9, 11, 13)).astype(np.float32)
+    (wc, wv), (wmi, wma) = ref_bls.crop_pad(
+        [torch.from_numpy(sim.copy()), torch.from_numpy(vol.copy())],
+        thresh=0.1, pad=2,
+    )
+    (gc, gv), (gmi, gma) = crop_pad(
+        [jnp.asarray(sim), jnp.asarray(vol)], thresh=0.1, pad=2
+    )
+    np.testing.assert_array_equal(np.asarray(gmi), wmi.numpy())
+    np.testing.assert_array_equal(np.asarray(gma), wma.numpy())
+    np.testing.assert_array_equal(np.asarray(gc), wc.numpy())
+    # write-back parity
+    w_out = ref_bls.write_crop_into(
+        torch.from_numpy(sim.copy()), wc * 2, (wmi, wma)
+    ).numpy()
+    g_out = np.asarray(write_crop_into(jnp.asarray(sim), gc * 2, (gmi, gma)))
+    np.testing.assert_allclose(g_out, w_out, rtol=1e-6)
+
+
+def test_bilateral_solver_vs_reference(rng):
+    """The reference's full scipy bilateral solver (float64 CSR + CG) vs
+    the dense device-grid solver on a grayscale reference image."""
+    import bilateral_solver3d as ref_bls
+    from scipy.sparse.linalg import cg as scipy_cg
+
+    # the reference calls scipy's removed `tol=` kwarg (renamed rtol);
+    # shim it so the reference algorithm runs unmodified otherwise
+    ref_bls.cg = lambda *a, tol=None, **k: scipy_cg(*a, rtol=tol, **k)
+
+    from vittf_tpu.ops.bilateral import apply_bilateral_solver3d
+
+    z, y, x = np.mgrid[:12, :11, :10]
+    base = 120 + 80 * ((z - 6) ** 2 + (y - 5) ** 2 + (x - 5) ** 2 < 16)
+    grayvol = np.clip(base + rng.normal(0, 5, base.shape), 0, 255).astype(np.uint8)
+    t = (grayvol > 150).astype(np.float32)[None]
+    r = np.broadcast_to(grayvol[None], (3,) + grayvol.shape).copy()
+    c = (rng.random(grayvol.shape) * 0.5 + 0.4).astype(np.float32)[None]
+    gp = {"sigma_spatial": 4, "sigma_luma": 8, "sigma_chroma": 8}
+
+    want = ref_bls.apply_bilateral_solver3d(
+        torch.from_numpy(t.copy()), torch.from_numpy(r),
+        c=torch.from_numpy(c.copy()), grid_params=gp,
+    ).numpy()
+    got = np.asarray(
+        apply_bilateral_solver3d(
+            jnp.asarray(t), jnp.asarray(r), c=jnp.asarray(c), grid_params=gp
+        )
+    )
+    assert np.abs(got - want).max() < 5e-3  # f32 25-iter CG vs f64 scipy
+    assert np.corrcoef(got.reshape(-1), want.reshape(-1))[0, 1] > 0.999
+
+
+def test_dim_utils_vs_reference(ref_infer, rng):
+    from vittf_tpu.utils.tensor import make_5d, norm_minmax
+
+    x = rng.standard_normal((3, 4)).astype(np.float32)
+    assert make_5d(jnp.asarray(x)).shape == tuple(
+        ref_infer.make_5d(torch.from_numpy(x.copy())).shape
+    )
+    np.testing.assert_allclose(
+        np.asarray(norm_minmax(jnp.asarray(x))),
+        ref_infer.norm_minmax(torch.from_numpy(x.copy())).numpy(),
+        rtol=1e-6,
+    )

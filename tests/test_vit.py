@@ -25,16 +25,18 @@ class TorchAttn(nn.Module):
         self.qkv = nn.Linear(dim, dim * 3)
         self.proj = nn.Linear(dim, dim)
         self.heads = heads
+        self.num_heads = heads  # DINO attribute name (read by hub users)
 
     def forward(self, x):
         B, N, D = x.shape
         hd = D // self.heads
-        qkv = self.qkv(x).reshape(B, N, 3, self.heads, hd).permute(2, 0, 3, 1, 4)
+        qkv_flat = self.qkv(x)  # single qkv invocation (hooks fire once)
+        qkv = qkv_flat.reshape(B, N, 3, self.heads, hd).permute(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = (q @ k.transpose(-2, -1)) * hd**-0.5
         attn = attn.softmax(dim=-1)
         out = (attn @ v).transpose(1, 2).reshape(B, N, D)
-        return self.proj(out), self.qkv(x)
+        return self.proj(out), qkv_flat
 
 
 class TorchMlp(nn.Module):
