@@ -24,3 +24,29 @@ assert jax.devices()[0].platform == "cpu"
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def install_icecream_stub():
+    """Stub the reference's icecream dependency (not installed here) so its
+    modules import; covers `ic` (callable + configureOutput) and the
+    `argumentToString.register` decorator used by old/utils.py."""
+    import sys
+    import types
+
+    if "icecream" in sys.modules:
+        return
+
+    class _Ic:
+        def __call__(self, *a, **k):
+            return a[0] if len(a) == 1 else a
+
+        def configureOutput(self, **k):
+            pass
+
+    def _arg2str(f=None):
+        return f
+
+    _arg2str.register = lambda *a, **k: (lambda f: f)
+    sys.modules["icecream"] = types.SimpleNamespace(
+        ic=_Ic(), argumentToString=_arg2str
+    )

@@ -5,7 +5,6 @@ the reference's numerics. Skipped wholesale when the reference checkout
 isn't present (the framework stands alone).
 """
 import sys
-import types
 from pathlib import Path
 
 import numpy as np
@@ -18,9 +17,9 @@ pytestmark = pytest.mark.skipif(
 
 if REF.exists():
     sys.path.insert(0, str(REF))
-    # predict_ntf imports icecream (not installed); a print-free stub suffices
-    if "icecream" not in sys.modules:
-        sys.modules["icecream"] = types.SimpleNamespace(ic=lambda *a, **k: None)
+    from tests.conftest import install_icecream_stub
+
+    install_icecream_stub()
 
 import jax.numpy as jnp  # noqa: E402
 import torch  # noqa: E402

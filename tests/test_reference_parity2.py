@@ -3,7 +3,6 @@
 the surface-sampling shell — all run through the reference's own functions.
 """
 import sys
-import types
 from pathlib import Path
 
 import numpy as np
@@ -17,28 +16,9 @@ pytestmark = pytest.mark.skipif(
 if REF.exists():
     sys.path.insert(0, str(REF))
     sys.path.insert(0, str(REF / "old"))
-    if "icecream" not in sys.modules:
-        def _arg2str(f=None):
-            return f
+    from tests.conftest import install_icecream_stub
 
-        _arg2str.register = lambda *a, **k: (lambda f: f)
-        _ic = lambda *a, **k: None  # noqa: E731
-        _ic_ns = types.SimpleNamespace(
-            ic=types.SimpleNamespace(
-                __call__=_ic, configureOutput=lambda **k: None
-            ),
-            argumentToString=_arg2str,
-        )
-        # make ic itself callable with configureOutput
-        class _Ic:
-            def __call__(self, *a, **k):
-                return a[0] if len(a) == 1 else a
-
-            def configureOutput(self, **k):
-                pass
-
-        _ic_ns.ic = _Ic()
-        sys.modules["icecream"] = _ic_ns
+    install_icecream_stub()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
