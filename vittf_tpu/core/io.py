@@ -21,6 +21,7 @@ framework. ``.pt`` support is provided through torch (CPU) when available.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 import numpy as np
@@ -42,6 +43,15 @@ def _load_pt(path: Path):
     if torch is None:
         raise RuntimeError(f"torch is required to load {path}")
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _atomic_save(path: Path, write_fn) -> Path:
+    """Write via a temp file + rename so concurrent readers (the GUI
+    frontends polling the artifact directory) never see partial files."""
+    tmp = path.with_name(path.name + ".tmp")
+    write_fn(tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def load_volume(data_path: str | Path) -> np.ndarray:
@@ -100,16 +110,18 @@ def load_annotations(path: str | Path) -> dict[str, np.ndarray]:
 
 
 def save_array(path: str | Path, arr) -> Path:
-    """Save a plain ndarray artifact as ``.npy`` or ``.pt``."""
+    """Save a plain ndarray artifact as ``.npy`` or ``.pt`` (atomically)."""
     path = Path(path)
     arr = _to_numpy(arr)
     if path.suffix in (".pt", ".pth"):
         if torch is None:
             raise RuntimeError("torch is required for .pt output")
-        torch.save(torch.from_numpy(np.ascontiguousarray(arr)), path)
-    else:
-        np.save(path, arr)
-    return path
+        return _atomic_save(
+            path,
+            lambda p: torch.save(torch.from_numpy(np.ascontiguousarray(arr)), p),
+        )
+    # np.save appends .npy to suffix-less temp names; write via file object
+    return _atomic_save(path, lambda p: np.save(open(p, "wb"), arr))
 
 
 def save_features(path: str | Path, features: dict, dtype=np.float16) -> Path:
@@ -123,18 +135,25 @@ def save_features(path: str | Path, features: dict, dtype=np.float16) -> Path:
     if path.suffix in (".pt", ".pth"):
         if torch is None:
             raise RuntimeError("torch is required for .pt output")
-        torch.save({k: torch.from_numpy(v) for k, v in features.items()}, path)
-    else:
-        np.save(path, np.asarray(features, dtype=object))
-    return path
+        return _atomic_save(
+            path,
+            lambda p: torch.save(
+                {k: torch.from_numpy(v) for k, v in features.items()}, p
+            ),
+        )
+    return _atomic_save(
+        path, lambda p: np.save(open(p, "wb"), np.asarray(features, dtype=object))
+    )
 
 
 def save_similarities(path: str | Path, sims: dict) -> Path:
-    """Save ``{classname: (W,H,D) uint8}`` similarity maps (artifact contract)."""
+    """Save ``{classname: (W,H,D) uint8}`` similarity maps (artifact
+    contract, atomic — frontends poll this file)."""
     path = Path(path)
     sims = {k: _to_numpy(v).astype(np.uint8) for k, v in sims.items()}
-    np.save(path, np.asarray(sims, dtype=object))
-    return path
+    return _atomic_save(
+        path, lambda p: np.save(open(p, "wb"), np.asarray(sims, dtype=object))
+    )
 
 
 class ArtifactDir:

@@ -93,10 +93,13 @@ class InteractiveSession:
         return fuse_predictions(self.similarities, ths)
 
     def export(self, data_dir: str | Path) -> None:
-        """Write similarities + predictions per the artifact contract."""
+        """Write similarities + predictions per the artifact contract
+        (atomic writes — frontends poll these files)."""
+        from vittf_tpu.core.io import save_array
+
         data_dir = Path(data_dir)
         save_similarities(data_dir / "similarities.npy", self.similarities)
-        np.save(
+        save_array(
             data_dir / "predictions.npy",
             np.asarray(self.predict()).astype(np.uint8),
         )
