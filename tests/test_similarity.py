@@ -81,6 +81,22 @@ def test_similarity_pallas_interpret_vs_xla(rng, mean_first):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_empty_class_does_not_crash(rng):
+    """A zero-annotation class (mid-annotation GUI state) yields an all-zero
+    column instead of a ZeroDivisionError."""
+    m = class_mean_matrix([3, 0, 2], 5)
+    assert m.shape == (5, 3)
+    assert (m[:, 1] == 0).all()
+    sims = compute_similarities(
+        jnp.asarray(rng.random((8, 8, 8)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((4, 4, 4, 4)).astype(np.float32)),
+        {"a": rng.integers(0, 8, (3, 3)), "empty": np.zeros((0, 3), np.int64)},
+        impl="xla",
+    )
+    assert set(sims) == {"a", "empty"}
+    assert np.asarray(sims["a"]).shape == (4, 4, 4)
+
+
 def test_torch_uint8_cast_semantics():
     """Confirm the reference's float→uint8 wraparound that we replicate."""
     vals = torch.tensor([0.0, 0.9, 1.2, 254.9, 255.1, 257.6, 511.9])

@@ -42,12 +42,18 @@ def _g(s, threshold, exponent):
 
 
 def class_mean_matrix(counts: list[int], total_padded: int) -> np.ndarray:
-    """(ΣA_padded, C) matrix averaging annotation columns per class."""
+    """(ΣA_padded, C) matrix averaging annotation columns per class.
+
+    Classes with zero annotations get an all-zero column (their similarity
+    map is zero rather than crashing; GUI frontends may send empty classes
+    mid-annotation).
+    """
     C = len(counts)
     m = np.zeros((total_padded, C), dtype=np.float32)
     idx = 0
     for c, n in enumerate(counts):
-        m[idx : idx + n, c] = 1.0 / n
+        if n > 0:
+            m[idx : idx + n, c] = 1.0 / n
         idx += n
     return m
 
