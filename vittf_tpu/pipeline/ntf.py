@@ -184,9 +184,16 @@ def fuse_predictions(
     """Fuse per-class uint8 sims into a label volume (predict_ntf.py:203-215).
 
     Class i wins a voxel iff sim_i > threshold_i·255 and sim_i exceeds the
-    best previous class (max-sim tie-break); labels are 1-based, 0 = background.
+    best previous class (max-sim tie-break); labels are 1-based, 0 =
+    background. Thresholds beyond the provided list fall back to the
+    similarity threshold 0.25 (the reference indexes its 5 CT-ORG values
+    and would crash on more classes).
     """
     sims = jnp.stack(list(similarities.values()))
+    if len(thresholds) < sims.shape[0]:
+        thresholds = list(thresholds) + [DEFAULT_THRESHOLD] * (
+            sims.shape[0] - len(thresholds)
+        )
     pred = jnp.zeros(sims.shape[1:], dtype=jnp.uint8)
     pred_vals = jnp.zeros(sims.shape[1:], dtype=sims.dtype)
     for i in range(sims.shape[0]):
