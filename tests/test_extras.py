@@ -58,6 +58,7 @@ def test_extract_features_mlp_source():
     cfg = ExtractConfig(
         feature_output_size=4, slice_along="z", batch_size=4,
         precision="highest", attn_impl="xla", feature_source="mlp",
+        pool_slice_axis=True,
     )
     out = extract_features(jnp.asarray(vol), params, cfg36, cfg)["k"]
     assert out.shape == (12, 3, 4, 5)  # 36/3 = 12 dims per key

@@ -28,7 +28,8 @@ PERMUTES = {
 def torch_compute_k(vol, tmodel, patch, im_sz, pool_size, slice_along,
                     batch_size=3, key_idx=1):
     """Faithful re-statement of reference infer.py:130-210 (key_idx: 0=q,
-    1=k, 2=v)."""
+    1=k, 2=v). pool_size=None reproduces the single-axis pool_fn=_noop
+    path (full slice-axis resolution)."""
     permute_in, permute_out = PERMUTES[slice_along]
     image_sizes = {
         "z": (im_sz[0], im_sz[1]),
@@ -53,6 +54,8 @@ def torch_compute_k(vol, tmodel, patch, im_sz, pool_size, slice_along,
     f_sz = (sz2d[0] // patch, sz2d[1] // patch)
     k = k.view(nb_im, f_sz[0], f_sz[1], -1).permute(0, 3, 1, 2)
     k = k.permute(*permute_out)
+    if pool_size is None:
+        return k
     return torch.nn.AdaptiveAvgPool3d(pool_size)(k)
 
 
@@ -78,12 +81,29 @@ def test_compute_im_sizes_rule():
 
 
 @pytest.mark.parametrize("axis", ["z", "y", "x"])
-def test_single_axis_parity(model_pair, volume, axis):
+def test_single_axis_parity_unpooled(model_pair, volume, axis):
+    """Single-axis default = reference's pool_fn=_noop: full slice-axis res."""
     tmodel, params = model_pair
     im_sz, feat_sz = compute_im_sizes(volume.shape, 4, TINY.patch_size)
     cfg = ExtractConfig(
         feature_output_size=4, slice_along=axis, batch_size=3,
         precision="highest", attn_impl="xla",
+    )
+    got = extract_features(jnp.asarray(volume), params, TINY, cfg)["k"]
+    want = torch_compute_k(
+        torch.from_numpy(volume), tmodel, TINY.patch_size, im_sz, None, axis
+    ).numpy()
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("axis", ["z", "y", "x"])
+def test_single_axis_parity_pooled_override(model_pair, volume, axis):
+    tmodel, params = model_pair
+    im_sz, feat_sz = compute_im_sizes(volume.shape, 4, TINY.patch_size)
+    cfg = ExtractConfig(
+        feature_output_size=4, slice_along=axis, batch_size=3,
+        precision="highest", attn_impl="xla", pool_slice_axis=True,
     )
     got = extract_features(jnp.asarray(volume), params, TINY, cfg)["k"]
     want = torch_compute_k(
@@ -119,7 +139,7 @@ def test_rgb_volume_extraction_parity(model_pair, rng):
     im_sz, feat_sz = compute_im_sizes(vol3.shape[-3:], 4, TINY.patch_size)
     cfg = ExtractConfig(
         feature_output_size=4, slice_along="z", batch_size=4,
-        precision="highest", attn_impl="xla",
+        precision="highest", attn_impl="xla", pool_slice_axis=True,
     )
     got = extract_features(jnp.asarray(vol3), params, TINY, cfg)["k"]
 
@@ -176,6 +196,7 @@ def test_return_multiple_keys(model_pair, volume):
     cfg = ExtractConfig(
         feature_output_size=4, slice_along="z", batch_size=4,
         return_keys=("q", "k", "v"), precision="highest", attn_impl="xla",
+        pool_slice_axis=True,
     )
     out = extract_features(jnp.asarray(volume), params, TINY, cfg)
     assert set(out) == {"q", "k", "v"}

@@ -61,6 +61,7 @@ def test_sharded_extraction_with_slice_subsample(model_pair, rng):
     cfg = ExtractConfig(
         feature_output_size=4, slice_along="z", batch_size=2,
         precision="highest", attn_impl="xla", slice_subsample=True,
+        pool_slice_axis=True,  # subsampling applies to the pooled path
     )
     want = extract_features(jnp.asarray(vol), params, TINY, cfg)["k"]
     got = extract_features_sharded(

@@ -70,7 +70,7 @@ def extract_features_sharded(
     for ax in axes:
         slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis) = prepare_axis_batches(
             vol_normed, model_cfg, ax, im_sz, feat_out_sz, cfg.batch_size,
-            cfg.slice_subsample,
+            cfg.slice_subsample, cfg.pooling(),
         )
         slices_b, w_pool_b = _pad_batches_to(slices_b, w_pool_b, ndata)
 

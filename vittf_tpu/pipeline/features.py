@@ -69,6 +69,16 @@ class ExtractConfig:
     # left it commented out, infer.py:160-166). ~(S/o_ax)× fewer ViT
     # forwards; NOT artifact-parity with the default full sweep.
     slice_subsample: bool = False
+    # Reference parity: the slice axis is pooled only in the 'all' sweep
+    # (infer.py:329 vs :326's pool_fn=_noop). None = follow that rule;
+    # True/False overrides explicitly.
+    pool_slice_axis: bool | None = None
+
+    def pooling(self, axis_mode: str | None = None) -> bool:
+        mode = axis_mode or self.slice_along
+        if self.pool_slice_axis is not None:
+            return self.pool_slice_axis
+        return mode == "all"
 
 
 def compute_im_sizes(
@@ -158,7 +168,7 @@ def _subsample_slice_indices(S: int, target: int) -> np.ndarray:
 
 def prepare_axis_batches(
     vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size,
-    slice_subsample: bool = False,
+    slice_subsample: bool = False, pool_slice_axis: bool = True,
 ):
     """Permute to slices, pad to batch multiple, build pool weights.
 
@@ -175,7 +185,12 @@ def prepare_axis_batches(
         vol_normed, (perm[0] + 1, 0, perm[1] + 1, perm[2] + 1)
     )  # (S, C, a, b)
     S = slices.shape[0]
-    if slice_subsample and S > o_ax:
+    if not pool_slice_axis:
+        # single-axis reference semantics (infer.py:326 pool_fn=_noop):
+        # the slice axis keeps full resolution
+        o_ax = S
+        pool_mat = np.eye(S)
+    elif slice_subsample and S > o_ax:
         # one picked slice per output slot → pooling matrix is identity
         pick = _subsample_slice_indices(S, o_ax)
         slices = slices[pick]
@@ -202,7 +217,7 @@ def prepare_axis_batches(
     static_argnames=(
         "cfg", "axis", "im_sz", "feat_out_sz", "batch_size",
         "return_keys", "precision", "attn_impl", "compute_dtype",
-        "feature_source", "slice_subsample",
+        "feature_source", "slice_subsample", "pool_slice_axis",
     ),
 )
 def _extract_axis(
@@ -219,6 +234,7 @@ def _extract_axis(
     compute_dtype: str,
     feature_source: str = "qkv",
     slice_subsample: bool = False,
+    pool_slice_axis: bool = True,
 ):
     """One axis sweep → pooled (F, o0, o1, o2) feature volume per key.
 
@@ -227,7 +243,8 @@ def _extract_axis(
     """
     dtype = jnp.dtype(compute_dtype)
     slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis) = prepare_axis_batches(
-        vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size, slice_subsample
+        vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size, slice_subsample,
+        pool_slice_axis,
     )
     key_idx = tuple(_qkv_index(k) for k in return_keys)
     acc = _scan_pooled_extraction(
@@ -270,7 +287,7 @@ def extract_features(
             params, vol_normed, model_cfg, ax, im_sz, feat_out_sz,
             cfg.batch_size, tuple(cfg.return_keys), cfg.precision,
             cfg.attn_impl, cfg.compute_dtype, cfg.feature_source,
-            cfg.slice_subsample,
+            cfg.slice_subsample, cfg.pooling(),
         )
         if cfg.slice_along == "all":
             # pooled to the common grid before summing (infer.py:329-333)
