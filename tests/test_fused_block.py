@@ -1,0 +1,67 @@
+"""Fused transformer-block kernel (ops/fused_block.py) parity.
+
+Interpret-mode on CPU vs the reference XLA block (models.vit._block):
+same math (pre-LN attention + GELU MLP, fp32 LN/softmax statistics), so
+fp32 interpret runs must agree to float tolerance. On-chip bf16 deviation
+vs the XLA bf16 path was separately measured at parity with the XLA
+path's own deviation from an fp32 oracle (~1.9% rel max, both paths).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vittf_tpu.models.vit import ViTConfig, _block, init_vit_params, vit_forward_raw
+from vittf_tpu.ops.fused_block import _ROW_BLOCK, fused_block
+
+
+def _mini_cfg(depth=2):
+    return ViTConfig(
+        patch_size=8, embed_dim=128, depth=depth, num_heads=2, img_size=32
+    )
+
+
+@pytest.mark.parametrize("n_tokens", [64, _ROW_BLOCK, _ROW_BLOCK + 17])
+def test_fused_block_matches_xla(rng, n_tokens):
+    cfg = _mini_cfg()
+    params = init_vit_params(cfg, jax.random.PRNGKey(0))
+    blk = params["blocks"][0]
+    x = jnp.asarray(
+        rng.standard_normal((2, n_tokens, cfg.embed_dim)).astype(np.float32)
+    )
+    want, _ = _block(x, blk, cfg, "highest", "xla")
+    got = fused_block(x, blk, cfg.num_heads, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_block_stack_matches_xla(rng):
+    """Two stacked blocks through the kernel vs the XLA path."""
+    cfg = _mini_cfg(depth=2)
+    params = init_vit_params(cfg, jax.random.PRNGKey(1))
+    x = jnp.asarray(rng.standard_normal((1, 90, cfg.embed_dim)).astype(np.float32))
+    want = x
+    for blk in params["blocks"]:
+        want, _ = _block(want, blk, cfg, "highest", "xla")
+    got = x
+    for blk in params["blocks"]:
+        got = fused_block(got, blk, cfg.num_heads, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_vit_forward_block_impl_flag_gates_correctly(rng):
+    """block_impl='fused' must silently keep the XLA path when the
+    preconditions (bf16, no LayerScale) don't hold — fp32 parity runs and
+    DINOv2 models never touch the kernel."""
+    cfg = _mini_cfg()
+    params = init_vit_params(cfg, jax.random.PRNGKey(2))
+    imgs = jnp.asarray(rng.standard_normal((1, 3, 32, 32)).astype(np.float32))
+    ref, qkv_ref = vit_forward_raw(params, imgs, cfg, precision="highest")
+    got, qkv_got = vit_forward_raw(
+        params, imgs, cfg, precision="highest", block_impl="fused"
+    )  # fp32 → gate keeps XLA
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(qkv_got), np.asarray(qkv_ref))

@@ -57,6 +57,10 @@ def build_parser() -> ArgumentParser:
                    choices=["default", "highest"])
     p.add_argument("--compute-dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--block-impl", type=str, default="xla",
+                   choices=["xla", "fused"],
+                   help="'fused' = fused Pallas transformer-block kernel "
+                        "(bf16 speed mode only; ~10%% faster extraction)")
     p.add_argument("--cpu", action="store_true", help="Force CPU execution")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard slice batches over all available devices")
@@ -111,6 +115,7 @@ def main(argv=None) -> int:
         return_keys=tuple(args.return_keys),
         precision=args.precision,
         compute_dtype=args.compute_dtype,
+        block_impl=args.block_impl,
     )
     t0 = time.time()
     if args.data_parallel and len(jax.devices()) > 1:

@@ -191,6 +191,7 @@ def vit_forward_raw(
     compute_dtype=jnp.float32,
     capture: str = "qkv",
     stop_after_capture: bool = False,
+    block_impl: str = "xla",  # 'xla' | 'fused' (bf16, non-LayerScale only)
 ):
     """Run the ViT over a batch of images (trace-time function; see
     ``vit_forward`` for the jitted entry point).
@@ -229,6 +230,14 @@ def vit_forward_raw(
     x = x + interpolate_pos_embed(params["pos_embed"], (h, w)).astype(x.dtype)
 
     qkv_last = None
+    use_fused = (
+        block_impl == "fused"
+        and not cfg.layerscale
+        and dtype == jnp.bfloat16
+    )
+    if use_fused:
+        from vittf_tpu.ops.fused_block import fused_block
+
     for i, blk in enumerate(params["blocks"]):
         is_last = i == cfg.depth - 1
         want = capture if (return_qkv_last and is_last) else None
@@ -241,6 +250,9 @@ def vit_forward_raw(
             y = _layer_norm(x, blk["norm1"])
             qkv_last = _linear(y, blk["qkv"], precision)
             return None, qkv_last
+        if use_fused and want is None:
+            x = fused_block(x, blk, cfg.num_heads)
+            continue
         x, cap = _block(x, blk, cfg, precision, attn_impl, capture=want)
         if cap is not None:
             qkv_last = cap

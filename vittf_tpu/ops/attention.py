@@ -63,7 +63,10 @@ def _attention_pallas(q, k, v, num_heads):
     """q/k/v: (B, H, N, hd) → (B, H, N, hd)."""
     B, H, N, hd = q.shape
     scale = hd ** -0.5
-    npad = -(-N // _Q_BLOCK) * _Q_BLOCK
+    # fp32 runs (parity mode) halve the q-block: full-length fp32 score
+    # tiles at 512 rows exceed the 16 MB VMEM budget around N≈4k
+    qb = _Q_BLOCK if q.dtype.itemsize < 4 else _Q_BLOCK // 2
+    npad = -(-N // qb) * qb
 
     def prep(x):
         x = x.reshape(B * H, N, hd)
@@ -74,7 +77,7 @@ def _attention_pallas(q, k, v, num_heads):
         jnp.arange(npad) < N, 0.0, -1e30
     ).astype(jnp.float32)[None]  # (1, Np)
 
-    grid = (B * H, npad // _Q_BLOCK)
+    grid = (B * H, npad // qb)
     out = pl.pallas_call(
         _fused_attention_kernel,
         out_shape=jax.ShapeDtypeStruct((B * H, npad, hd), q.dtype),
@@ -84,7 +87,7 @@ def _attention_pallas(q, k, v, num_heads):
                 (1, npad), lambda b, i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, _Q_BLOCK, hd), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+                (1, qb, hd), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, npad, hd), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
@@ -94,7 +97,7 @@ def _attention_pallas(q, k, v, num_heads):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, _Q_BLOCK, hd), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, qb, hd), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * npad * npad * hd,

@@ -87,7 +87,7 @@ def extract_features_sharded(
             acc = _scan_pooled_extraction(
                 p, sb, wb, model_cfg, img_hw, f_hw, o_ax,
                 key_idx, cfg.precision, cfg.attn_impl, dtype,
-                cfg.feature_source,
+                cfg.feature_source, cfg.block_impl,
             )
             return tuple(jax.lax.psum(a, "data") for a in acc)
 

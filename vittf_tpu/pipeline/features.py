@@ -73,6 +73,12 @@ class ExtractConfig:
     # (infer.py:329 vs :326's pool_fn=_noop). None = follow that rule;
     # True/False overrides explicitly.
     pool_slice_axis: bool | None = None
+    # 'xla' | 'fused' — 'fused' runs non-capture blocks through the fused
+    # Pallas block kernel (ops/fused_block.py; bf16 + non-LayerScale only,
+    # ~19% faster block stack). Numerics: same contract as speed mode
+    # (bf16 matmuls, fp32 LN/softmax stats) but different accumulation
+    # order, so not bit-identical to 'xla' speed mode.
+    block_impl: str = "xla"
 
     def pooling(self, axis_mode: str | None = None) -> bool:
         mode = axis_mode or self.slice_along
@@ -106,6 +112,7 @@ def _axis_geometry(cfg, axis, im_sz, feat_out_sz):
 def _scan_pooled_extraction(
     params, slices_b, w_pool_b, cfg, img_hw, f_hw, o_ax,
     key_idx, precision, attn_impl, dtype, feature_source="qkv",
+    block_impl="xla",
 ):
     """Core scan over slice batches with fused slice-axis pooling.
 
@@ -130,6 +137,7 @@ def _scan_pooled_extraction(
             params, imgs, cfg, precision=precision, attn_impl=attn_impl,
             return_qkv_last=True, compute_dtype=dtype, capture=feature_source,
             stop_after_capture=(feature_source == "qkv"),
+            block_impl=block_impl,
         )  # (B, 1+hw, 3·D') — D' = embed_dim for qkv, embed_dim/3 for mlp
         feats = qkv[:, 1:].reshape(
             batch.shape[0], f_hw[0] * f_hw[1], 3, qkv.shape[-1] // 3
@@ -218,6 +226,7 @@ def prepare_axis_batches(
         "cfg", "axis", "im_sz", "feat_out_sz", "batch_size",
         "return_keys", "precision", "attn_impl", "compute_dtype",
         "feature_source", "slice_subsample", "pool_slice_axis",
+        "block_impl",
     ),
 )
 def _extract_axis(
@@ -235,6 +244,7 @@ def _extract_axis(
     feature_source: str = "qkv",
     slice_subsample: bool = False,
     pool_slice_axis: bool = True,
+    block_impl: str = "xla",
 ):
     """One axis sweep → pooled (F, o0, o1, o2) feature volume per key.
 
@@ -249,7 +259,7 @@ def _extract_axis(
     key_idx = tuple(_qkv_index(k) for k in return_keys)
     acc = _scan_pooled_extraction(
         params, slices_b, w_pool_b, cfg, img_hw, f_hw, o_ax,
-        key_idx, precision, attn_impl, dtype, feature_source,
+        key_idx, precision, attn_impl, dtype, feature_source, block_impl,
     )
     D = cfg.embed_dim if feature_source == "qkv" else cfg.embed_dim // 3
     return {
@@ -287,7 +297,7 @@ def extract_features(
             params, vol_normed, model_cfg, ax, im_sz, feat_out_sz,
             cfg.batch_size, tuple(cfg.return_keys), cfg.precision,
             cfg.attn_impl, cfg.compute_dtype, cfg.feature_source,
-            cfg.slice_subsample, cfg.pooling(),
+            cfg.slice_subsample, cfg.pooling(), cfg.block_impl,
         )
         if cfg.slice_along == "all":
             # pooled to the common grid before summing (infer.py:329-333)
