@@ -57,7 +57,7 @@ def main():
         attn_impl="auto",
         compute_dtype="bfloat16",
         # fused Pallas block kernel: same speed-mode numerics contract
-        # (bf16 matmuls, fp32 LN/softmax), ~10% faster e2e than the XLA
+        # (bf16 matmuls, fp32 LN/softmax), ~25% faster e2e than the XLA
         # block path (see docs/STATUS.md)
         block_impl="fused",
     )

@@ -60,7 +60,7 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--block-impl", type=str, default="xla",
                    choices=["xla", "fused"],
                    help="'fused' = fused Pallas transformer-block kernel "
-                        "(bf16 speed mode only; ~10%% faster extraction)")
+                        "(bf16 speed mode only; ~25%% faster extraction)")
     p.add_argument("--cpu", action="store_true", help="Force CPU execution")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard slice batches over all available devices")
