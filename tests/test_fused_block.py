@@ -52,10 +52,28 @@ def test_fused_block_stack_matches_xla(rng):
     )
 
 
+def test_fused_block_layerscale(rng):
+    """DINOv2 LayerScale gammas applied at both residuals."""
+    cfg = ViTConfig(
+        patch_size=14, embed_dim=128, depth=1, num_heads=2, img_size=28,
+        layerscale=True,
+    )
+    params = init_vit_params(cfg, jax.random.PRNGKey(3))
+    blk = params["blocks"][0]
+    blk["ls1"] = jnp.asarray(rng.standard_normal(128).astype(np.float32)) * 0.1
+    blk["ls2"] = jnp.asarray(rng.standard_normal(128).astype(np.float32)) * 0.1
+    x = jnp.asarray(rng.standard_normal((2, 65, 128)).astype(np.float32))
+    want, _ = _block(x, blk, cfg, "highest", "xla")
+    got = fused_block(x, blk, cfg.num_heads, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_vit_forward_block_impl_flag_gates_correctly(rng):
     """block_impl='fused' must silently keep the XLA path when the
-    preconditions (bf16, no LayerScale) don't hold — fp32 parity runs and
-    DINOv2 models never touch the kernel."""
+    precondition (bf16 compute dtype) doesn't hold — fp32 parity runs
+    never touch the kernel."""
     cfg = _mini_cfg()
     params = init_vit_params(cfg, jax.random.PRNGKey(2))
     imgs = jnp.asarray(rng.standard_normal((1, 3, 32, 32)).astype(np.float32))

@@ -191,7 +191,7 @@ def vit_forward_raw(
     compute_dtype=jnp.float32,
     capture: str = "qkv",
     stop_after_capture: bool = False,
-    block_impl: str = "xla",  # 'xla' | 'fused' (bf16, non-LayerScale only)
+    block_impl: str = "xla",  # 'xla' | 'fused' (bf16 speed mode only)
 ):
     """Run the ViT over a batch of images (trace-time function; see
     ``vit_forward`` for the jitted entry point).
@@ -230,11 +230,7 @@ def vit_forward_raw(
     x = x + interpolate_pos_embed(params["pos_embed"], (h, w)).astype(x.dtype)
 
     qkv_last = None
-    use_fused = (
-        block_impl == "fused"
-        and not cfg.layerscale
-        and dtype == jnp.bfloat16
-    )
+    use_fused = block_impl == "fused" and dtype == jnp.bfloat16
     if use_fused:
         from vittf_tpu.ops.fused_block import fused_block
 

@@ -63,6 +63,7 @@ def _fused_block_kernel(
     wfc1_ref, bfc1_ref,  # (D, Hd), (1, Hd)
     wfc2_ref, bfc2_ref,  # (Hd, D), (1, D)
     ln1_ref, ln2_ref,  # (2, D): row 0 scale, row 1 bias
+    ls_ref,  # (2, D): LayerScale gammas (row 0 ls1, row 1 ls2; ones if none)
     out_ref,  # (1, Np, D)
     y_scr, k_scr, v_scr,  # VMEM (Np, D)
     *, num_heads: int, n_rows: int,
@@ -107,7 +108,8 @@ def _fused_block_kernel(
             outs.append(o.astype(x.dtype))
         attn = jnp.concatenate(outs, axis=-1)  # (Rb, D)
         a = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
-        x2 = x_ref[0, rows, :] + a.astype(x.dtype) + bproj_ref[0]
+        a = a.astype(x.dtype) + bproj_ref[0]
+        x2 = x_ref[0, rows, :] + a * ls_ref[0]
         y2 = _ln(x2, ln2_ref[0], ln2_ref[1])
         mid = jnp.dot(
             y2, wfc1_ref[:], preferred_element_type=jnp.float32
@@ -116,7 +118,7 @@ def _fused_block_kernel(
         m2 = jnp.dot(
             mid, wfc2_ref[:], preferred_element_type=jnp.float32
         ).astype(x.dtype) + bfc2_ref[0]
-        out_ref[0, rows, :] = x2 + m2
+        out_ref[0, rows, :] = x2 + m2 * ls_ref[1]
         return 0
 
     jax.lax.fori_loop(0, n_rows, row_body, 0)
@@ -130,8 +132,8 @@ def fused_block(
     n_valid: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Apply one transformer block with the fused kernel. bf16-oriented;
-    no LayerScale support (DINO v1 blocks)."""
+    """Apply one transformer block with the fused kernel. bf16-oriented.
+    LayerScale (DINOv2 'ls1'/'ls2' gammas) is applied when present."""
     B, N, D = x.shape
     Hd = blk["fc1"]["kernel"].shape[1]
     npad = -(-N // _ROW_BLOCK) * _ROW_BLOCK
@@ -146,6 +148,10 @@ def fused_block(
     def row2(p):
         return jnp.stack([p["scale"], p["bias"]]).astype(dt)
 
+    if "ls1" in blk:
+        ls = jnp.stack([blk["ls1"], blk["ls2"]]).astype(dt)
+    else:
+        ls = jnp.ones((2, D), dt)
     args = (
         mask, xp,
         wqkv[:, :D], wqkv[:, D : 2 * D], wqkv[:, 2 * D :],
@@ -153,7 +159,7 @@ def fused_block(
         blk["proj"]["kernel"].astype(dt), blk["proj"]["bias"].astype(dt)[None],
         blk["fc1"]["kernel"].astype(dt), blk["fc1"]["bias"].astype(dt)[None],
         blk["fc2"]["kernel"].astype(dt), blk["fc2"]["bias"].astype(dt)[None],
-        row2(blk["norm1"]), row2(blk["norm2"]),
+        row2(blk["norm1"]), row2(blk["norm2"]), ls,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     out = pl.pallas_call(
@@ -165,7 +171,7 @@ def fused_block(
         in_specs=[
             pl.BlockSpec((1, npad), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        ] + [full() for _ in range(14)],
+        ] + [full() for _ in range(15)],
         out_specs=pl.BlockSpec(
             (1, npad, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),

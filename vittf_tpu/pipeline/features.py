@@ -74,8 +74,8 @@ class ExtractConfig:
     # True/False overrides explicitly.
     pool_slice_axis: bool | None = None
     # 'xla' | 'fused' — 'fused' runs non-capture blocks through the fused
-    # Pallas block kernel (ops/fused_block.py; bf16 + non-LayerScale only,
-    # ~19% faster block stack). Numerics: same contract as speed mode
+    # Pallas block kernel (ops/fused_block.py; bf16 speed mode only,
+    # ~43% faster block stack). Numerics: same contract as speed mode
     # (bf16 matmuls, fp32 LN/softmax stats) but different accumulation
     # order, so not bit-identical to 'xla' speed mode.
     block_impl: str = "xla"
