@@ -189,23 +189,29 @@ def prepare_axis_batches(
     )
     if vol_normed.ndim == 3:
         vol_normed = vol_normed[None]  # (1, W, H, D)
-    slices = jnp.transpose(
-        vol_normed, (perm[0] + 1, 0, perm[1] + 1, perm[2] + 1)
-    )  # (S, C, a, b)
-    S = slices.shape[0]
+    S = vol_normed.shape[perm[0] + 1]
     if not pool_slice_axis:
         # single-axis reference semantics (infer.py:326 pool_fn=_noop):
         # the slice axis keeps full resolution
         o_ax = S
         pool_mat = np.eye(S)
     elif slice_subsample and S > o_ax:
-        # one picked slice per output slot → pooling matrix is identity
+        # one picked slice per output slot → pooling matrix is identity.
+        # Pick BEFORE the permute: gathering o_ax planes from the original
+        # layout keeps peak memory at one small stack instead of a second
+        # full-volume transpose copy (a 1024³ fp32 volume otherwise OOMs a
+        # 16 GB chip in fast mode).
         pick = _subsample_slice_indices(S, o_ax)
-        slices = slices[pick]
+        vol_normed = jnp.take(
+            vol_normed, jnp.asarray(pick), axis=perm[0] + 1
+        )
         S = o_ax
         pool_mat = np.eye(o_ax)
     else:
         pool_mat = _adaptive_avg_weight_matrix(S, o_ax)
+    slices = jnp.transpose(
+        vol_normed, (perm[0] + 1, 0, perm[1] + 1, perm[2] + 1)
+    )  # (S, C, a, b)
     nb = -(-S // batch_size)
     # zero-padded slices get zero pool weight, so batch padding is exact
     w_pool = jnp.asarray(

@@ -41,10 +41,12 @@ def _bucket_annotations(total: int, step: int = 256) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("sim_shape", "threshold", "exponent", "mean_first", "impl"),
+    static_argnames=(
+        "in_dims", "sim_shape", "threshold", "exponent", "mean_first", "impl",
+    ),
 )
 def _similarities_device(
-    volume: jnp.ndarray,
+    in_dims: tuple[int, int, int],  # volume shape (coords are relative to it)
     features: jnp.ndarray,
     abs_coords: jnp.ndarray,  # (A_pad, 3), zero-padded
     class_mat: jnp.ndarray,  # (A_pad, C), zero rows for padding
@@ -61,9 +63,10 @@ def _similarities_device(
     quantize → resize into one compiled call makes interactive
     re-similarity a single round trip. The annotation axis is padded to a
     bucket and the class-mean matrix is a runtime value, so adding or
-    removing annotations does NOT recompile.
+    removing annotations does NOT recompile. Only the volume's SHAPE is
+    needed (coords are normalized against it) — the volume itself stays
+    out of the dispatch.
     """
-    in_dims = tuple(volume.shape[-3:])
     feat_dims = tuple(features.shape[-3:])
     F_dim = features.shape[0]
 
@@ -146,7 +149,7 @@ def compute_similarities(
         coords_p[: abs_np.shape[0]] = abs_np
         m = class_mean_matrix(list(counts), apad)
         sims_u8 = _similarities_device(
-            volume, features, jnp.asarray(coords_p), jnp.asarray(m),
+            in_dims, features, jnp.asarray(coords_p), jnp.asarray(m),
             sim_shape, threshold, exponent, mean_first, impl,
         )
         return {name: sims_u8[c] for c, name in enumerate(annotations.keys())}
