@@ -67,3 +67,67 @@ def test_from_artifacts(tmp_path, rng):
     )
     s = InteractiveSession.from_artifacts(tmp_path, impl="xla")
     assert s.features.shape == (4, 6, 6, 6)
+
+
+def test_bls_interactive_zero_recompiles_after_warmup(rng):
+    """Repeated annotation edits with the bilateral solver on must reuse
+    compiled graphs: the annotation axis is padded to a bucket (count and
+    position changes are runtime values), so the similarity dispatch never
+    recompiles per frame."""
+    from vittf_tpu.ops.bilateral import bilateral_solve_gray
+    from vittf_tpu.pipeline.ntf import _raw_similarities_device
+
+    # a volume with one bright blob; features carry the blob signature so
+    # the similarity crop box is stable under annotation jitter
+    vol = (rng.random((24, 24, 24)) * 0.1).astype(np.float32)
+    vol[6:18, 6:18, 6:18] += 0.8
+    feats = (rng.standard_normal((8, 12, 12, 12)) * 0.05).astype(np.float32)
+    feats[:4, 3:9, 3:9, 3:9] += 1.0
+
+    session = InteractiveSession(vol, feats, bilateral_solver=True, impl="xla")
+
+    def blob_annotations(n, m):
+        return {
+            "a": rng.integers(8, 16, (n, 3)),
+            "b": rng.integers(0, 5, (m, 3)),
+        }
+
+    session.update_annotations(blob_annotations(9, 4))  # warmup
+    solver_cache = bilateral_solve_gray._cache_size()
+    sims_cache = _raw_similarities_device._cache_size()
+    for i in range(4):
+        # edits change counts and positions (annotation add/remove/move)
+        session.update_annotations(blob_annotations(9 + 2 * i, 4 + i))
+    assert bilateral_solve_gray._cache_size() == solver_cache
+    assert _raw_similarities_device._cache_size() == sims_cache
+
+
+def test_bls_shape_bucket_stops_solver_recompiles(rng):
+    """Crop boxes that differ per frame (growing similarity support) hit
+    ONE solver graph with the default bucket, but one graph per shape with
+    the reference-parity tight crop."""
+    import jax.numpy as jnp
+
+    from vittf_tpu.ops.bilateral import bilateral_solve_gray
+    from vittf_tpu.pipeline.refine import refine_similarity
+
+    vol = rng.random((32, 32, 32)).astype(np.float32)
+    sim_shape = (16, 16, 16)
+
+    def sim_with_support(ext):
+        s = np.zeros(sim_shape, np.float32)
+        s[4 : 4 + ext, 4:11, 4:11] = 1.0
+        return jnp.asarray(s)
+
+    # warmup both paths on the first shape
+    refine_similarity(sim_with_support(5), vol, sim_shape, shape_bucket=8)
+    refine_similarity(sim_with_support(5), vol, sim_shape, shape_bucket=None)
+    c0 = bilateral_solve_gray._cache_size()
+    for ext in (6, 7):  # tight crops (10,11,11) and (11,11,11) — new shapes
+        refine_similarity(sim_with_support(ext), vol, sim_shape, shape_bucket=8)
+    assert bilateral_solve_gray._cache_size() == c0, "bucketed crop recompiled"
+    for ext in (6, 7):
+        refine_similarity(sim_with_support(ext), vol, sim_shape, shape_bucket=None)
+    assert bilateral_solve_gray._cache_size() == c0 + 2, (
+        "tight crop expected one new solver graph per shape"
+    )

@@ -84,6 +84,43 @@ def make_synthetic_volumes(
     return out
 
 
+def make_multiclass_volume(
+    size: int = 128, noise: float = 0.05, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-class CT-like synthetic volume with ground-truth labels.
+
+    Extends the reference's single-class SDF fixtures
+    (create_synthetic_volumes.py) to a labeled multi-organ phantom for
+    quality experiments (full-sweep vs fast-mode IoU): three disjoint SDF
+    shapes with distinct intensity bands — the property real CT organs
+    have that makes the frozen-ViT features separable — over a noisy
+    background.
+
+        class 1  filled sphere   intensity ~0.90
+        class 2  filled torus    intensity ~0.60
+        class 3  sphere shell    intensity ~0.35
+        class 0  background      intensity ~noise
+
+    Returns (volume float32 (size³), labels uint8 (size³)).
+    """
+    pos = _position_grid(size)
+    shapes = [
+        (sphere_filled(pos - jnp.asarray([-0.45, -0.45, -0.35]), 0.32), 0.90),
+        (torus_filled(pos - jnp.asarray([0.40, 0.35, 0.15]), 0.35, 0.13), 0.60),
+        (sphere_thickness(pos - jnp.asarray([0.35, -0.45, -0.30]), 0.28, 0.07), 0.35),
+    ]
+    vol = jnp.zeros((size, size, size), jnp.float32)
+    labels = jnp.zeros((size, size, size), jnp.uint8)
+    for i, (mask, intensity) in enumerate(shapes, start=1):
+        inside = mask > 0.5
+        vol = jnp.where(inside, intensity, vol)
+        labels = jnp.where(inside, jnp.uint8(i), labels)
+    if noise > 0.0:
+        key = jax.random.PRNGKey(seed)
+        vol = jnp.clip(vol + jax.random.uniform(key, vol.shape) * noise, 0.0, 1.0)
+    return np.asarray(vol, np.float32), np.asarray(labels, np.uint8)
+
+
 def write_synthetic_volumes(
     outdir: str | Path, size: int = 128, noise: float = 0.0, use_pt: bool = False
 ) -> list[Path]:

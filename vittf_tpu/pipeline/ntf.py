@@ -21,7 +21,6 @@ from vittf_tpu.ops.sampling import rel_coords_from_abs, sample_features3d
 from vittf_tpu.ops.similarity import (
     DEFAULT_EXPONENT,
     DEFAULT_THRESHOLD,
-    fused_similarity,
     fused_similarity_m,
 )
 
@@ -90,6 +89,40 @@ def _similarities_device(
     return sims_u8
 
 
+@partial(
+    jax.jit,
+    static_argnames=("in_dims", "threshold", "exponent", "mean_first", "impl"),
+)
+def _raw_similarities_device(
+    in_dims: tuple[int, int, int],
+    features: jnp.ndarray,
+    abs_coords: jnp.ndarray,  # (A_pad, 3), zero-padded
+    class_mat: jnp.ndarray,  # (A_pad, C)
+    threshold: float,
+    exponent: float,
+    mean_first: bool,
+    impl: str,
+) -> jnp.ndarray:
+    """Float (C, W', H', D') similarities in one dispatch (pre-refinement).
+
+    Same padded-annotation contract as ``_similarities_device`` so the BLS
+    path also reuses compiled graphs across annotation edits; quantization
+    happens after the (data-dependent) bilateral refinement instead.
+    """
+    feat_dims = tuple(features.shape[-3:])
+    F_dim = features.shape[0]
+    rel = rel_coords_from_abs(abs_coords, in_dims)
+    qf = sample_features3d(features, rel, mode="bilinear")[0, 0]
+    feats_flat = jnp.moveaxis(features, 0, -1).reshape(-1, F_dim)
+    sims_nc = fused_similarity_m(
+        feats_flat, qf, class_mat,
+        threshold=threshold, exponent=exponent,
+        mean_first=mean_first, impl=impl,
+    )
+    C = class_mat.shape[1]
+    return jnp.moveaxis(sims_nc.reshape(*feat_dims, C), -1, 0)
+
+
 def compute_similarities(
     volume: jnp.ndarray,
     features: jnp.ndarray,
@@ -138,38 +171,31 @@ def compute_similarities(
         [np.asarray(v) for v in annotations.values()], axis=0
     ).astype(np.float32)
 
-    if not bilateral_solver:
-        # pad the annotation axis to a bucket: interactive annotation
-        # changes then reuse the compiled graph (zero mean-matrix rows make
-        # the padding exact)
-        from vittf_tpu.ops.similarity import class_mean_matrix
+    # pad the annotation axis to a bucket (both branches): interactive
+    # annotation changes then reuse the compiled graph (zero mean-matrix
+    # rows make the padding exact)
+    from vittf_tpu.ops.similarity import class_mean_matrix
 
-        apad = _bucket_annotations(abs_np.shape[0])
-        coords_p = np.zeros((apad, 3), np.float32)
-        coords_p[: abs_np.shape[0]] = abs_np
-        m = class_mean_matrix(list(counts), apad)
+    apad = _bucket_annotations(abs_np.shape[0])
+    coords_p = np.zeros((apad, 3), np.float32)
+    coords_p[: abs_np.shape[0]] = abs_np
+    m = class_mean_matrix(list(counts), apad)
+
+    if not bilateral_solver:
         sims_u8 = _similarities_device(
             in_dims, features, jnp.asarray(coords_p), jnp.asarray(m),
             sim_shape, threshold, exponent, mean_first, impl,
         )
         return {name: sims_u8[c] for c, name in enumerate(annotations.keys())}
-    abs_coords = jnp.asarray(abs_np)
 
-    # BLS path: the crop is data-dependent, so this composes jitted stages
-    from vittf_tpu.ops.sampling import rel_coords_from_abs as _rel
+    # BLS path: the crop is data-dependent, so the refinement composes
+    # jitted stages; the raw similarity still runs as one padded dispatch
     from vittf_tpu.pipeline.refine import refine_similarity
 
-    feat_dims = tuple(features.shape[-3:])
-    F_dim = features.shape[0]
-    rel = _rel(abs_coords, in_dims)
-    qf = sample_features3d(features, rel, mode="bilinear")[0, 0]
-    feats_flat = jnp.moveaxis(features, 0, -1).reshape(-1, F_dim)
-    sims_nc = fused_similarity(
-        feats_flat, qf, list(counts),
-        threshold=threshold, exponent=exponent,
-        mean_first=mean_first, impl=impl,
+    sims = _raw_similarities_device(
+        in_dims, features, jnp.asarray(coords_p), jnp.asarray(m),
+        threshold, exponent, mean_first, impl,
     )
-    sims = jnp.moveaxis(sims_nc.reshape(*feat_dims, len(counts)), -1, 0)
     similarities = {}
     for c, name in enumerate(annotations.keys()):
         sim = refine_similarity(

@@ -114,6 +114,29 @@ class ContrastiveTrainer:
         self.opt_state = self.opt.init(self.params)
         self.history: list[dict] = []
 
+    @classmethod
+    def from_rle_annotations(
+        cls, vol: np.ndarray, annotation: dict[str, np.ndarray],
+        cfg: ContrastiveConfig = ContrastiveConfig(), seed: int = 0,
+    ) -> "ContrastiveTrainer":
+        """Build a trainer from an RLE annotation export.
+
+        The reference's ``_old`` trainer variant consumed GUI annotations
+        through an external RLE decoder (old/train_semisparse_old.py:14,
+        ``from rle_shit import decode_from_annotation``); this is that
+        input path: per-class runs → voxel coordinates → class_indices.
+        """
+        from vittf_tpu.core.rle import decode_from_annotation
+
+        coords = decode_from_annotation(annotation, tuple(np.shape(vol)))
+        self = cls(vol, np.zeros(np.shape(vol), np.int32), cfg=cfg, seed=seed)
+        self.class_indices = {
+            i + 1: np.asarray(coords[name])
+            for i, name in enumerate(sorted(coords))
+            if coords[name].shape[0] > 0
+        }
+        return self
+
     def _choice(self, n_avail, n_want):
         # torch.multinomial draws without replacement (old/train_semisparse
         # :161-168); fall back to replacement only when the class is smaller
