@@ -208,3 +208,57 @@ def test_return_multiple_keys(model_pair, volume):
         np.testing.assert_allclose(
             np.asarray(out[key]), want, rtol=2e-4, atol=2e-4
         )
+
+
+def test_fused_all_axes_matches_sequential(rng):
+    """Cubic-volume fused 3-axis sweep (one jit) is bit-identical to the
+    sequential per-axis path: same batch order per axis, same z+y+x
+    accumulator addition order."""
+    import jax
+
+    from vittf_tpu.models.vit import init_vit_params
+    from vittf_tpu.pipeline import features as FT
+    from tests.test_vit import TINY
+
+    params = init_vit_params(TINY, jax.random.PRNGKey(3))
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    for subsample in (False, True):
+        cfg = FT.ExtractConfig(
+            feature_output_size=4, slice_along="all", batch_size=4,
+            precision="highest", attn_impl="xla", slice_subsample=subsample,
+        )
+        assert FT._fused_all_applicable(jnp.asarray(vol), cfg)
+        got = np.asarray(FT.extract_features(vol, params, TINY, cfg)["k"])
+
+        # sequential oracle: the pre-fusion path, axis by axis
+        from vittf_tpu.utils.tensor import norm_minmax
+
+        vol_normed = norm_minmax(jnp.asarray(vol, jnp.float32))
+        im_sz, feat_sz = FT.compute_im_sizes(vol.shape, 4, TINY.patch_size)
+        total = 0
+        for ax in ("z", "y", "x"):
+            axis_feats = FT._extract_axis(
+                params, vol_normed, TINY, ax, im_sz, feat_sz,
+                4, ("k",), "highest", "xla", "float32", "qkv",
+                subsample, True, "xla",
+            )["k"]
+            total = total + np.asarray(FT._pool_to(axis_feats, feat_sz))
+        np.testing.assert_array_equal(got, total)
+
+
+def test_fused_all_not_applicable_non_cubic(rng):
+    from vittf_tpu.pipeline import features as FT
+
+    cfg = FT.ExtractConfig(feature_output_size=4, slice_along="all")
+    assert not FT._fused_all_applicable(jnp.zeros((12, 16, 20)), cfg)
+    assert not FT._fused_all_applicable(
+        jnp.zeros((16, 16, 16)), FT.ExtractConfig(feature_output_size=4, slice_along="z")
+    )
+    # big full sweeps fall back (3 stacks would blow the HBM cap)...
+    big = jnp.zeros((1100, 1100, 1100))
+    assert not FT._fused_all_applicable(big, cfg)
+    # ...but fast mode is always fine (picked stacks are tiny)
+    import dataclasses
+    assert FT._fused_all_applicable(
+        big, dataclasses.replace(cfg, slice_subsample=True)
+    )

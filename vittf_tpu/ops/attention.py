@@ -33,59 +33,70 @@ def _on_tpu() -> bool:
         return False
 
 
-def _fused_attention_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref):
+def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, hd: int):
     """One q-block vs full K/V for one (batch·head): fused softmax attention.
 
     The kernel is VPU-bound (every elementwise op walks the (Bq, Np) score
-    tile), so passes are minimized: the 1/√d scale is pre-folded into q by
-    the wrapper, and key-padding masking is one additive (1, Np) bias row
-    instead of iota + compare + select.
+    tile), so per-tile passes are minimized (same scheme as
+    ops/fused_block.py): the 1/√d·log2(e) scale is pre-folded into q so
+    the exponential is a bare exp2; K is zero-padded so padded score
+    columns are exactly 0 (no mask pass); V carries an all-ones valid-
+    indicator lane at column ``hd`` (zero on padded rows), so the PV
+    matmul emits the softmax numerator AND denominator together — no
+    (Bq, Np) sum reduce on the VPU and exact padding handling for free
+    (the PV output tile pads to 128 lanes regardless, so the extra
+    columns cost no MXU cycles).
     """
-    q = q_ref[0]  # (Bq, hd), pre-scaled
-    k = k_ref[0]  # (Np, hd)
-    v = v_ref[0]
+    q = q_ref[0]  # (Bq, hd), pre-scaled into the exp2 domain
+    k = k_ref[0]  # (Np, hd), zero rows beyond N
+    v = v_ref[0]  # (Np, Wv): [:, :hd] values, [:, hd] indicator
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + mask_ref[:]  # (Bq, Np); padded columns get -1e30
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(
+    )  # (Bq, Np); padded columns are exactly 0
+    m = jnp.max(s, axis=-1, keepdims=True)  # ≥ 0 when padded
+    p = jnp.exp2(s - m)
+    o_ext = jnp.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ) / denom
+    )  # (Bq, Wv)
+    o = o_ext[:, :hd] * pl.reciprocal(o_ext[:, hd:hd + 1], approx=False)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
-def _attention_pallas(q, k, v, num_heads):
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _attention_pallas(q, k, v, num_heads, interpret=False):
     """q/k/v: (B, H, N, hd) → (B, H, N, hd)."""
+    import math
+
     B, H, N, hd = q.shape
-    scale = hd ** -0.5
+    scale = hd ** -0.5 * math.log2(math.e)
     # fp32 runs (parity mode) halve the q-block: full-length fp32 score
     # tiles at 512 rows exceed the 16 MB VMEM budget around N≈4k
     qb = _Q_BLOCK if q.dtype.itemsize < 4 else _Q_BLOCK // 2
     npad = -(-N // qb) * qb
+    wv = -(-(hd + 1) // 128) * 128  # V width incl. indicator, lane-aligned
 
     def prep(x):
         x = x.reshape(B * H, N, hd)
         return jnp.pad(x, ((0, 0), (0, npad - N), (0, 0)))
 
-    qp, kp, vp = prep(q * jnp.asarray(scale, q.dtype)), prep(k), prep(v)
-    mask = jnp.where(
-        jnp.arange(npad) < N, 0.0, -1e30
-    ).astype(jnp.float32)[None]  # (1, Np)
+    qp, kp = prep(q * jnp.asarray(scale, q.dtype)), prep(k)
+    vp = prep(v)
+    ind = jnp.broadcast_to(
+        (jnp.arange(npad) < N).astype(v.dtype)[None, :, None],
+        (B * H, npad, 1),
+    )
+    vp = jnp.concatenate(
+        [vp, ind, jnp.zeros((B * H, npad, wv - hd - 1), v.dtype)], axis=-1
+    )
 
     grid = (B * H, npad // qb)
     out = pl.pallas_call(
-        _fused_attention_kernel,
+        functools.partial(_fused_attention_kernel, hd=hd),
         out_shape=jax.ShapeDtypeStruct((B * H, npad, hd), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, npad), lambda b, i: (0, 0), memory_space=pltpu.VMEM
-            ),
             pl.BlockSpec(
                 (1, qb, hd), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
             ),
@@ -93,7 +104,7 @@ def _attention_pallas(q, k, v, num_heads):
                 (1, npad, hd), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, npad, hd), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, npad, wv), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -104,7 +115,8 @@ def _attention_pallas(q, k, v, num_heads):
             bytes_accessed=3 * B * H * npad * hd * q.dtype.itemsize,
             transcendentals=B * H * npad * npad,
         ),
-    )(mask, qp, kp, vp)
+        interpret=interpret,
+    )(qp, kp, vp)
     return out[:, :N].reshape(B, H, N, hd)
 
 

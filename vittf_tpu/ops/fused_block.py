@@ -11,8 +11,9 @@ Structure per program (one slice of the batch grid):
     stage 1: y = LN1(x)                          → y_scr (Np, D)
     stage 2: k = y@Wk, v = y@Wv                  → k_scr, v_scr (Np, D)
              full-width (D, D) matmuls — 2× the MXU utilization of
-             per-head (D, hd) matmuls at hd=64
-    stage 3: ONE pass over 256-row blocks:
+             per-head (D, hd) matmuls at hd=64; padded-token rows are
+             then zeroed ONCE (they are LN1-bias rows, not zeros)
+    stage 3: ONE pass over row blocks:
              q = y[rows]@Wq (full-width); per head (static unroll →
              static 64-col lane slices, which Mosaic allows): scores,
              fp32 softmax, PV; head outputs concatenated; then
@@ -21,10 +22,32 @@ The single row-block pass keeps the attention output in registers — no
 (H, Np, hd) scratch round-trip. ``input_output_aliases`` updates the
 residual stream in place (every row block is fully read before written).
 
+Softmax is restructured to minimize VPU passes over the (Rb, Np) score
+tile — the exposed non-MXU time of the kernel:
+  - the 1/√d scale AND log2(e) are folded into Wq/bq on the host, so the
+    kernel uses exp2 (the VPU-native exponential) with no per-tile scale
+    pass;
+  - key-padding masking costs nothing per tile: padded K/V rows are
+    zeroed once in stage 2, making padded score columns exactly 0;
+  - the softmax SUM never runs on the VPU: V is laid out per head with an
+    all-ones indicator lane (stride 128 — the PV output tile pads to 128
+    lanes anyway, so the extra column is MXU-free), and the PV matmul
+    emits numerator and denominator together; padded keys drop out of the
+    denominator exactly because their V rows (incl. indicator) are zero;
+  - the denominator divide is a reciprocal-multiply on the (Rb, hd) head
+    output, never on the (Rb, Np) tile.
+The row-wise max subtraction is kept (numerical safety); since padded
+columns contribute score 0, m ≥ 0 always.
+
 Measured (ViT-S/8 geometry, (16, 4097, 384) bf16, 12 blocks, v5e):
-102 ms vs 179 ms for the unfused XLA+Pallas-attention path (43% faster).
-The remaining gap to roofline is the hd=64 attention contraction, which
-caps the QK^T/PV matmuls at half MXU utilization.
+83 ms vs 171 ms for the unfused XLA+Pallas-attention path (was 92 ms
+before the softmax restructure — see scripts/bench_block.py; ROW_BLOCK
+128 measured slower, 87 ms). The remaining gap to roofline is (a) the
+hd=64 QK^T contraction, which runs at half MXU depth — head-packing
+cannot recover it: any packing scheme needs the same MXU cycles, the
+zero blocks of a block-diagonal operand occupy the array exactly as long
+as the half-depth bubbles do — and (b) exposed VPU time of the max/exp2
+chain (~25 ms over the ~57 ms MXU floor, only partially overlapped).
 
 Numerics: bf16 matmuls with fp32 LN statistics and fp32 softmax — the
 same contract as the speed-mode XLA path. Deviation from an fp32 oracle
@@ -37,6 +60,7 @@ FailedPrecondition at Np≈4k (oversized VMEM working set).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +68,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _ROW_BLOCK = 256
+_LOG2E = math.log2(math.e)
 
 
 def _ln(x, scale, bias, eps=1e-6):
@@ -55,32 +80,49 @@ def _ln(x, scale, bias, eps=1e-6):
 
 
 def _fused_block_kernel(
-    mask_ref,  # (1, Np) f32: 0 valid / -1e30 padded keys
     x_ref,  # (1, Np, D)
-    wq_ref, wk_ref, wv_ref,  # (D, D)
-    bq_ref, bk_ref, bv_ref,  # (1, D)
+    wq_ref, wk_ref,  # (D, D); wq pre-scaled by log2(e)/√hd
+    bq_ref, bk_ref,  # (1, D); bq pre-scaled likewise
+    wv_ref, bv_ref,  # (D, H·128), (1, H·128): per-head V + indicator col
     wproj_ref, bproj_ref,  # (D, D), (1, D)
     wfc1_ref, bfc1_ref,  # (D, Hd), (1, Hd)
     wfc2_ref, bfc2_ref,  # (Hd, D), (1, D)
     ln1_ref, ln2_ref,  # (2, D): row 0 scale, row 1 bias
     ls_ref,  # (2, D): LayerScale gammas (row 0 ls1, row 1 ls2; ones if none)
     out_ref,  # (1, Np, D)
-    y_scr, k_scr, v_scr,  # VMEM (Np, D)
-    *, num_heads: int, n_rows: int,
+    y_scr, k_scr, v_scr,  # VMEM (Np, D), (Np, D), (Np, H·128)
+    *, num_heads: int, n_rows: int, n_pad: int,
 ):
     D = x_ref.shape[-1]
     hd = D // num_heads
-    scale = hd ** -0.5
     x = x_ref[0]
+    Np = x.shape[0]
+    HW = v_scr.shape[-1] // num_heads  # 128: head V lane stride
 
     y_scr[:] = _ln(x, ln1_ref[0], ln1_ref[1])
     y = y_scr[:]
     k_scr[:] = (
         jnp.dot(y, wk_ref[:], preferred_element_type=jnp.float32) + bk_ref[:]
     ).astype(y.dtype)
+    # V is computed in an expanded (Np, H·128) layout: head h's values live
+    # in lanes [h·128, h·128+hd), and lane h·128+hd is an all-ones valid
+    # indicator (from the bias; its W column is zero). The PV matmul then
+    # yields numerator AND softmax denominator in one product — no (Rb, Np)
+    # sum reduce on the VPU, and padded keys drop out of the denominator
+    # exactly because their rows are zeroed below.
     v_scr[:] = (
         jnp.dot(y, wv_ref[:], preferred_element_type=jnp.float32) + bv_ref[:]
     ).astype(y.dtype)
+    if n_pad:
+        # padded tokens are LN1-bias rows, not zeros — zero their K/V once
+        # so (a) their score columns are exactly 0 (no per-tile mask pass)
+        # and (b) their PV/denominator contribution is exactly 0
+        k_scr[pl.ds(Np - n_pad, n_pad), :] = jnp.zeros(
+            (n_pad, D), k_scr.dtype
+        )
+        v_scr[pl.ds(Np - n_pad, n_pad), :] = jnp.zeros(
+            (n_pad, v_scr.shape[-1]), v_scr.dtype
+        )
 
     def row_body(i, _):
         rows = pl.ds(i * _ROW_BLOCK, _ROW_BLOCK)
@@ -88,23 +130,24 @@ def _fused_block_kernel(
             jnp.dot(
                 y_scr[rows, :], wq_ref[:], preferred_element_type=jnp.float32
             ) + bq_ref[:]
-        ).astype(x.dtype)
+        ).astype(x.dtype)  # already in the exp2 domain (scale·log2e folded)
         outs = []
         for h in range(num_heads):  # static unroll → static lane slices
             qh = qall[:, h * hd:(h + 1) * hd]
             kh = k_scr[:, h * hd:(h + 1) * hd]
-            vh = v_scr[:, h * hd:(h + 1) * hd]
+            vh = v_scr[:, h * HW:(h + 1) * HW]  # (Np, 128) incl. indicator
             s = jax.lax.dot_general(
-                qh * jnp.asarray(scale, qh.dtype), kh,
+                qh, kh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + mask_ref[:]  # (Rb, Np); padded keys get -1e30
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            denom = jnp.sum(p, axis=-1, keepdims=True)
-            o = jnp.dot(
+            )  # (Rb, Np); padded key columns are exactly 0
+            m = jnp.max(s, axis=-1, keepdims=True)  # ≥ 0 when padded
+            p = jnp.exp2(s - m)
+            o_ext = jnp.dot(
                 p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
-            ) / denom
+            )  # (Rb, 128): [:, :hd] numerator, [:, hd] = Σ_valid p
+            denom = o_ext[:, hd:hd + 1]
+            o = o_ext[:, :hd] * pl.reciprocal(denom, approx=False)
             outs.append(o.astype(x.dtype))
         attn = jnp.concatenate(outs, axis=-1)  # (Rb, D)
         a = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
@@ -124,7 +167,9 @@ def _fused_block_kernel(
     jax.lax.fori_loop(0, n_rows, row_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "n_valid", "interpret")
+)
 def fused_block(
     x: jnp.ndarray,  # (B, N, D)
     blk: dict,  # one block's parameter pytree (models.vit layout)
@@ -135,15 +180,35 @@ def fused_block(
     """Apply one transformer block with the fused kernel. bf16-oriented.
     LayerScale (DINOv2 'ls1'/'ls2' gammas) is applied when present."""
     B, N, D = x.shape
+    hd = D // num_heads
     Hd = blk["fc1"]["kernel"].shape[1]
     npad = -(-N // _ROW_BLOCK) * _ROW_BLOCK
     nv = N if n_valid is None else n_valid
     xp = jnp.pad(x, ((0, 0), (0, npad - N), (0, 0)))
-    mask = jnp.where(jnp.arange(npad) < nv, 0.0, -1e30).astype(jnp.float32)[None]
 
     dt = x.dtype
-    wqkv = blk["qkv"]["kernel"].astype(dt)  # (D, 3D)
-    bqkv = blk["qkv"]["bias"].astype(dt)  # (3D,)
+    # fold the attention scale AND log2(e) into Wq/bq: the kernel's scores
+    # live in the exp2 domain with zero per-tile scaling passes
+    qscale = jnp.asarray(hd ** -0.5 * _LOG2E, jnp.float32)
+    wqkv = blk["qkv"]["kernel"].astype(jnp.float32)  # (D, 3D)
+    bqkv = blk["qkv"]["bias"].astype(jnp.float32)  # (3D,)
+    wq = (wqkv[:, :D] * qscale).astype(dt)
+    bq = (bqkv[:D] * qscale).astype(dt)
+    # expanded V layout (head stride 128): lanes [h·128, h·128+hd) carry
+    # head h's V columns; lane h·128+hd is the all-ones valid indicator
+    # (bias 1.0, zero weight column) that the PV matmul turns into the
+    # softmax denominator — see the kernel docstring
+    HW = 128
+    wv = jnp.zeros((D, num_heads * HW), jnp.float32)
+    bv = jnp.zeros((num_heads * HW,), jnp.float32)
+    for h in range(num_heads):
+        wv = wv.at[:, h * HW : h * HW + hd].set(
+            wqkv[:, 2 * D + h * hd : 2 * D + (h + 1) * hd]
+        )
+        bv = bv.at[h * HW : h * HW + hd].set(
+            bqkv[2 * D + h * hd : 2 * D + (h + 1) * hd]
+        )
+        bv = bv.at[h * HW + hd].set(1.0)
 
     def row2(p):
         return jnp.stack([p["scale"], p["bias"]]).astype(dt)
@@ -153,9 +218,10 @@ def fused_block(
     else:
         ls = jnp.ones((2, D), dt)
     args = (
-        mask, xp,
-        wqkv[:, :D], wqkv[:, D : 2 * D], wqkv[:, 2 * D :],
-        bqkv[:D][None], bqkv[D : 2 * D][None], bqkv[2 * D :][None],
+        xp,
+        wq, wqkv[:, D : 2 * D].astype(dt),
+        bq[None], bqkv[D : 2 * D].astype(dt)[None],
+        wv.astype(dt), bv.astype(dt)[None],
         blk["proj"]["kernel"].astype(dt), blk["proj"]["bias"].astype(dt)[None],
         blk["fc1"]["kernel"].astype(dt), blk["fc1"]["bias"].astype(dt)[None],
         blk["fc2"]["kernel"].astype(dt), blk["fc2"]["bias"].astype(dt)[None],
@@ -164,21 +230,27 @@ def fused_block(
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     out = pl.pallas_call(
         functools.partial(
-            _fused_block_kernel, num_heads=num_heads, n_rows=npad // _ROW_BLOCK
+            _fused_block_kernel,
+            num_heads=num_heads,
+            n_rows=npad // _ROW_BLOCK,
+            n_pad=npad - nv,
         ),
         out_shape=jax.ShapeDtypeStruct((B, npad, D), dt),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, npad), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ] + [full() for _ in range(15)],
         out_specs=pl.BlockSpec(
             (1, npad, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((npad, D), dt)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((npad, D), dt),  # y
+            pltpu.VMEM((npad, D), dt),  # k
+            pltpu.VMEM((npad, num_heads * HW), dt),  # expanded v
+        ],
         # the residual stream is updated in place (every row block is fully
         # read before it is written), saving one (Np, D) VMEM buffer pair
-        input_output_aliases={1: 0},
+        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

@@ -109,6 +109,28 @@ def _axis_geometry(cfg, axis, im_sz, feat_out_sz):
     return perm, img_hw, f_hw, o_ax, out_axis
 
 
+def _slice_batch_features(
+    params, batch, cfg, img_hw, f_hw, key_idx, precision, attn_impl,
+    dtype, feature_source, block_impl,
+):
+    """One slice batch through the ViT → per-key (B, fh·fw, D) fp32."""
+    imgs = resize_nearest(batch, img_hw)  # (B, C, h, w)
+    if imgs.shape[1] == 1:
+        # scalar volumes replicate 1→3 channels (infer.py:154)
+        imgs = jnp.broadcast_to(imgs, (batch.shape[0], 3) + img_hw)
+    imgs = imagenet_normalize(imgs).astype(dtype)
+    _, qkv = vit_forward_raw(
+        params, imgs, cfg, precision=precision, attn_impl=attn_impl,
+        return_qkv_last=True, compute_dtype=dtype, capture=feature_source,
+        stop_after_capture=(feature_source == "qkv"),
+        block_impl=block_impl,
+    )  # (B, 1+hw, 3·D') — D' = embed_dim for qkv, embed_dim/3 for mlp
+    feats = qkv[:, 1:].reshape(
+        batch.shape[0], f_hw[0] * f_hw[1], 3, qkv.shape[-1] // 3
+    )  # CLS dropped (infer.py:197)
+    return [feats[:, :, ki].astype(jnp.float32) for ki in key_idx]
+
+
 def _scan_pooled_extraction(
     params, slices_b, w_pool_b, cfg, img_hw, f_hw, o_ax,
     key_idx, precision, attn_impl, dtype, feature_source="qkv",
@@ -118,42 +140,35 @@ def _scan_pooled_extraction(
 
     Args:
         slices_b: (nb, B, a, b) raw slice batches.
-        w_pool_b: (nb, o_ax, B) per-batch slice-axis pool weight columns.
+        w_pool_b: (nb, o_ax, B) per-batch slice-axis pool weight columns —
+            or (nb, A, o_ax, B) for the fused all-axes sweep, in which
+            case accumulators carry a leading A axis.
 
-    Returns one (o_ax, fh·fw, D) fp32 accumulator per requested key. The
-    sum over batches distributes, so sharding batches across devices and
-    psumming the accumulators is exact (used by the parallel layer).
+    Returns one (o_ax, fh·fw, D) — or (A, o_ax, fh·fw, D) — fp32
+    accumulator per requested key. The sum over batches distributes, so
+    sharding batches across devices and psumming the accumulators is
+    exact (used by the parallel layer).
     """
     D = cfg.embed_dim if feature_source == "qkv" else cfg.embed_dim // 3
+    multi = w_pool_b.ndim == 4
+    eq = "aob,bnd->aond" if multi else "ob,bnd->ond"
+    acc_shape = (
+        (w_pool_b.shape[1], o_ax) if multi else (o_ax,)
+    ) + (f_hw[0] * f_hw[1], D)
 
     def body(carry, inp):
-        batch, w_rows = inp  # (B, C, a, b), (o_ax, B)
-        imgs = resize_nearest(batch, img_hw)  # (B, C, h, w)
-        if imgs.shape[1] == 1:
-            # scalar volumes replicate 1→3 channels (infer.py:154)
-            imgs = jnp.broadcast_to(imgs, (batch.shape[0], 3) + img_hw)
-        imgs = imagenet_normalize(imgs).astype(dtype)
-        _, qkv = vit_forward_raw(
-            params, imgs, cfg, precision=precision, attn_impl=attn_impl,
-            return_qkv_last=True, compute_dtype=dtype, capture=feature_source,
-            stop_after_capture=(feature_source == "qkv"),
-            block_impl=block_impl,
-        )  # (B, 1+hw, 3·D') — D' = embed_dim for qkv, embed_dim/3 for mlp
-        feats = qkv[:, 1:].reshape(
-            batch.shape[0], f_hw[0] * f_hw[1], 3, qkv.shape[-1] // 3
-        )  # CLS dropped (infer.py:197)
+        batch, w_rows = inp  # (B, C, a, b), ([A,] o_ax, B)
+        fks = _slice_batch_features(
+            params, batch, cfg, img_hw, f_hw, key_idx, precision,
+            attn_impl, dtype, feature_source, block_impl,
+        )
         new_carry = []
-        for ci, ki in enumerate(key_idx):
-            fk = feats[:, :, ki].astype(jnp.float32)  # (B, hw, D)
-            contrib = jnp.einsum(
-                "ob,bnd->ond", w_rows, fk, precision="highest"
-            )
+        for ci, fk in enumerate(fks):
+            contrib = jnp.einsum(eq, w_rows, fk, precision="highest")
             new_carry.append(carry[ci] + contrib)
         return tuple(new_carry), None
 
-    init = tuple(
-        jnp.zeros((o_ax, f_hw[0] * f_hw[1], D), jnp.float32) for _ in key_idx
-    )
+    init = tuple(jnp.zeros(acc_shape, jnp.float32) for _ in key_idx)
     acc, _ = jax.lax.scan(body, init, (slices_b, w_pool_b))
     return acc
 
@@ -274,6 +289,103 @@ def _extract_axis(
     }
 
 
+# fused all-axes sweep materializes all three permuted slice stacks at
+# once; cap their combined size so huge full sweeps fall back to the
+# sequential path instead of pressuring HBM (3 × 512³ fp32 ≈ 1.5 GB ok,
+# 3 × 1024³ is not)
+_FUSED_ALL_MAX_BYTES = 3 * 2**30
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "im_sz", "feat_out_sz", "batch_size",
+        "return_keys", "precision", "attn_impl", "compute_dtype",
+        "feature_source", "slice_subsample", "block_impl",
+    ),
+)
+def _extract_all_axes_fused(
+    params: dict,
+    vol_normed: jnp.ndarray,
+    cfg: ViTConfig,
+    im_sz: tuple[int, int, int],
+    feat_out_sz: tuple[int, int, int],
+    batch_size: int,
+    return_keys: tuple,
+    precision: str,
+    attn_impl: str,
+    compute_dtype: str,
+    feature_source: str = "qkv",
+    slice_subsample: bool = False,
+    block_impl: str = "xla",
+):
+    """Cubic-volume fast path: ALL three axis sweeps in ONE jit/scan.
+
+    The reference runs z, y, x sequentially (infer.py:327-333); for cubic
+    volumes every axis has identical slice geometry, so the three
+    permuted stacks concatenate into one scan whose pool-weight rows
+    carry a per-axis leading dim (zero off-axis — exact in fp32). One
+    dispatch instead of three (each is a tunnel round trip) and one
+    compilation of the ViT scan instead of three. Numerically identical
+    to the sequential path: same per-axis batch order, same final
+    z+y+x accumulator addition order.
+    """
+    dtype = jnp.dtype(compute_dtype)
+    key_idx = tuple(_qkv_index(k) for k in return_keys)
+    stacks = []
+    geom = None
+    for ax in ("z", "y", "x"):
+        s_b, w_b, g = prepare_axis_batches(
+            vol_normed, cfg, ax, im_sz, feat_out_sz, batch_size,
+            slice_subsample, True,
+        )
+        stacks.append((s_b, w_b))
+        # out_axis (g[3]) legitimately differs per axis; the slice/image
+        # geometry must match for the stacks to share one scan
+        assert geom is None or g[:3] == geom[:3], (
+            "fused sweep needs equal slice geometry"
+        )
+        geom = g
+    img_hw, f_hw, o_ax, _ = geom
+    nb = stacks[0][0].shape[0]
+
+    slices_all = jnp.concatenate([s for s, _ in stacks], axis=0)
+    w_all = jnp.zeros((3, nb, 3, o_ax, batch_size), jnp.float32)
+    for a, (_, w_b) in enumerate(stacks):
+        w_all = w_all.at[a, :, a].set(w_b)
+    w_all = w_all.reshape(3 * nb, 3, o_ax, batch_size)
+
+    acc = _scan_pooled_extraction(
+        params, slices_all, w_all, cfg, img_hw, f_hw, o_ax,
+        key_idx, precision, attn_impl, dtype, feature_source, block_impl,
+    )
+    D = cfg.embed_dim if feature_source == "qkv" else cfg.embed_dim // 3
+    out = {}
+    for name, pooled in zip(return_keys, acc):  # pooled: (3, o_ax, hw, D)
+        vols = [
+            _pooled_to_volume(
+                pooled[a], f_hw, o_ax, _AXIS_RULES[ax][2], D
+            )
+            for a, ax in enumerate(("z", "y", "x"))
+        ]
+        vols = [_pool_to(v, feat_out_sz) for v in vols]
+        out[name] = (vols[0] + vols[1]) + vols[2]  # z+y+x, parity order
+    return out
+
+
+def _fused_all_applicable(vol: jnp.ndarray, cfg: ExtractConfig) -> bool:
+    shp = vol.shape[-3:]
+    if cfg.slice_along != "all" or cfg.pooling() is not True:
+        return False
+    if not (shp[0] == shp[1] == shp[2]):
+        return False
+    C = vol.shape[0] if vol.ndim == 4 else 1
+    if cfg.slice_subsample:
+        return True  # picked stacks are o_ax slices each — tiny
+    stack_bytes = 3 * C * shp[0] * shp[1] * shp[2] * 4
+    return stack_bytes <= _FUSED_ALL_MAX_BYTES
+
+
 def extract_features(
     vol: jnp.ndarray,
     params: dict,
@@ -295,6 +407,15 @@ def extract_features(
         vol.shape[-3:], cfg.feature_output_size, model_cfg.patch_size
     )
     vol_normed = norm_minmax(vol)
+
+    if _fused_all_applicable(vol, cfg):
+        # cubic 'all' sweep: one dispatch/compile for all three axes
+        return _extract_all_axes_fused(
+            params, vol_normed, model_cfg, im_sz, feat_out_sz,
+            cfg.batch_size, tuple(cfg.return_keys), cfg.precision,
+            cfg.attn_impl, cfg.compute_dtype, cfg.feature_source,
+            cfg.slice_subsample, cfg.block_impl,
+        )
 
     axes = ["z", "y", "x"] if cfg.slice_along == "all" else [cfg.slice_along]
     out: dict[str, jnp.ndarray] = {}

@@ -14,6 +14,7 @@ from __future__ import annotations
 import time
 from dataclasses import replace
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,30 +44,30 @@ def ntf_predict(
     """
     vol_j = jnp.asarray(vol, jnp.float32)
 
-    def timed(fn):
-        fn()  # compile + warmup
+    def timed(fn, fence):
+        """compile+warmup, then timed run fenced by a SCALAR device→host
+        fetch — fetching full volumes would time the tunnel transport, not
+        the computation."""
+        fn()
         t0 = time.perf_counter()
         out = fn()
+        fence(out)
         return out, time.perf_counter() - t0
 
     feats, t_extract = timed(
-        lambda: np.asarray(extract_features(vol_j, params, model_cfg, ex_cfg)["k"])
+        lambda: extract_features(vol_j, params, model_cfg, ex_cfg)["k"],
+        lambda f: float(np.asarray(jax.device_get(f[0, 0, 0, 0]))),
     )
-    feats = jnp.asarray(feats)
     sims, t_sim = timed(
-        lambda: {
-            k: np.asarray(v)
-            for k, v in compute_similarities(vol_j, feats, annotations).items()
-        }
+        lambda: compute_similarities(vol_j, feats, annotations),
+        lambda s: int(np.asarray(next(iter(s.values()))[0, 0, 0])),
     )
     thresholds = (
         fuse_thresholds
         if fuse_thresholds is not None
         else [0.25] * len(sims)
     )
-    pred = fuse_predictions(
-        {k: jnp.asarray(v) for k, v in sims.items()}, thresholds
-    )
+    pred = fuse_predictions(sims, thresholds)
     pred = np.asarray(upscale_prediction(pred, vol.shape))
     return pred, {"extract_s": t_extract, "similarity_s": t_sim}
 
@@ -87,22 +88,31 @@ def fastmode_quality_experiment(
     extraction-mode effect.
     """
     from vittf_tpu.core.synthetic import make_multiclass_volume
+    from vittf_tpu.pipeline.annotations import sample_uniform
 
     vol, labels = make_multiclass_volume(size, seed=seed)
     rng = np.random.default_rng(seed)
     annotations = annotations_from_labels(labels, n_annotations, "both", rng=rng)
-    names = ["background"] + list(annotations.keys())
+    # explicit background class LAST (the reference's user-study sessions
+    # annotate background too — evaluate_similarities.py label2idx): voxels
+    # fused to it are relabeled 0 so the background has a competitor
+    n_fg = len(annotations)
+    annotations["bg"] = sample_uniform(
+        np.asarray(labels) == 0, n_annotations, rng=rng
+    )
+    names = ["background"] + [k for k in annotations if k != "bg"]
 
     out: dict = {
         "size": size,
         "n_annotations": n_annotations,
-        "classes": list(annotations.keys()),
+        "classes": [k for k in annotations if k != "bg"],
     }
     for mode, cfg in [
         ("full", replace(base_cfg, slice_subsample=False)),
         ("fast", replace(base_cfg, slice_subsample=True)),
     ]:
         pred, times = ntf_predict(vol, params, model_cfg, cfg, annotations)
+        pred = np.where(pred == n_fg + 1, 0, pred)  # bg class → label 0
         m = segmentation_metrics(labels, pred, names)
         fg_iou = {k: v for k, v in m["iou"].items() if k != "background"}
         total_s = times["extract_s"] + times["similarity_s"]
