@@ -254,8 +254,10 @@ def test_fused_all_not_applicable_non_cubic(rng):
     assert not FT._fused_all_applicable(
         jnp.zeros((16, 16, 16)), FT.ExtractConfig(feature_output_size=4, slice_along="z")
     )
-    # big full sweeps fall back (3 stacks would blow the HBM cap)...
-    big = jnp.zeros((1100, 1100, 1100))
+    # big full sweeps fall back (XLA hoists per-slice preprocessing across
+    # the concatenated scan input — a 512^3 full sweep measured a ~70 GB
+    # AOT intermediate before the cap)...
+    big = jnp.zeros((512, 512, 512))
     assert not FT._fused_all_applicable(big, cfg)
     # ...but fast mode is always fine (picked stacks are tiny)
     import dataclasses

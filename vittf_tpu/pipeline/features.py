@@ -290,10 +290,12 @@ def _extract_axis(
 
 
 # fused all-axes sweep materializes all three permuted slice stacks at
-# once; cap their combined size so huge full sweeps fall back to the
-# sequential path instead of pressuring HBM (3 × 512³ fp32 ≈ 1.5 GB ok,
-# 3 × 1024³ is not)
-_FUSED_ALL_MAX_BYTES = 3 * 2**30
+# once; cap their combined size so big full sweeps fall back to the
+# sequential path. Empirically XLA hoists per-slice preprocessing across
+# the whole concatenated scan input at 512³ full sweeps (a ~70 GB
+# intermediate → AOT OOM), so the cap stays below that: 256³ full sweeps
+# (3 × 64 MB) and fast mode at any size stay fused.
+_FUSED_ALL_MAX_BYTES = 2**30
 
 
 @partial(

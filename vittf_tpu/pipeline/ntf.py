@@ -206,6 +206,18 @@ def compute_similarities(
     return similarities
 
 
+@partial(jax.jit, static_argnames=("thresholds",))
+def _fuse_device(sims: jnp.ndarray, thresholds: tuple) -> jnp.ndarray:
+    pred = jnp.zeros(sims.shape[1:], dtype=jnp.uint8)
+    pred_vals = jnp.zeros(sims.shape[1:], dtype=sims.dtype)
+    for i in range(sims.shape[0]):
+        sim = sims[i]
+        mask = (sim > int(thresholds[i] * 255)) & (sim > pred_vals)
+        pred = jnp.where(mask, jnp.uint8(i + 1), pred)
+        pred_vals = jnp.where(mask, sim, pred_vals)
+    return pred
+
+
 def fuse_predictions(
     similarities: dict[str, jnp.ndarray],
     thresholds: list[float] = CT_ORG_THRESHOLDS,
@@ -216,21 +228,15 @@ def fuse_predictions(
     best previous class (max-sim tie-break); labels are 1-based, 0 =
     background. Thresholds beyond the provided list fall back to the
     similarity threshold 0.25 (the reference indexes its 5 CT-ORG values
-    and would crash on more classes).
+    and would crash on more classes). The fuse runs as ONE jitted
+    dispatch — interactively every eager op would be a tunnel round trip.
     """
     sims = jnp.stack(list(similarities.values()))
     if len(thresholds) < sims.shape[0]:
         thresholds = list(thresholds) + [DEFAULT_THRESHOLD] * (
             sims.shape[0] - len(thresholds)
         )
-    pred = jnp.zeros(sims.shape[1:], dtype=jnp.uint8)
-    pred_vals = jnp.zeros(sims.shape[1:], dtype=sims.dtype)
-    for i in range(sims.shape[0]):
-        sim = sims[i]
-        mask = (sim > int(thresholds[i] * 255)) & (sim > pred_vals)
-        pred = jnp.where(mask, jnp.uint8(i + 1), pred)
-        pred_vals = jnp.where(mask, sim, pred_vals)
-    return pred
+    return _fuse_device(sims, tuple(float(t) for t in thresholds[: sims.shape[0]]))
 
 
 def upscale_prediction(pred: jnp.ndarray, vol_shape: tuple) -> jnp.ndarray:
