@@ -102,23 +102,53 @@ def make_multiclass_volume(
         class 0  background      intensity ~noise
 
     Returns (volume float32 (size³), labels uint8 (size³)).
+
+    Evaluated host-side in z-chunks (a full (size³, 3) position grid is
+    12 GB at 1024³ — chunking keeps the generator usable at the volume
+    sizes the throughput benchmarks run at).
     """
-    pos = _position_grid(size)
-    shapes = [
-        (sphere_filled(pos - jnp.asarray([-0.45, -0.45, -0.35]), 0.32), 0.90),
-        (torus_filled(pos - jnp.asarray([0.40, 0.35, 0.15]), 0.35, 0.13), 0.60),
-        (sphere_thickness(pos - jnp.asarray([0.35, -0.45, -0.30]), 0.28, 0.07), 0.35),
-    ]
-    vol = jnp.zeros((size, size, size), jnp.float32)
-    labels = jnp.zeros((size, size, size), jnp.uint8)
-    for i, (mask, intensity) in enumerate(shapes, start=1):
-        inside = mask > 0.5
-        vol = jnp.where(inside, intensity, vol)
-        labels = jnp.where(inside, jnp.uint8(i), labels)
+    ls = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    vol = np.zeros((size, size, size), np.float32)
+    labels = np.zeros((size, size, size), np.uint8)
+    rng = np.random.default_rng(seed)
+    chunk = max(1, min(size, 2**27 // (size * size)))
+
+    def np_sdf_sphere(pos, c, r):
+        return np.linalg.norm(pos - np.asarray(c, np.float32), axis=-1) - r
+
+    def np_sdf_torus(pos, c, r1, r2):
+        p = pos - np.asarray(c, np.float32)
+        q = np.linalg.norm(p[..., :2], axis=-1) - r1
+        return np.sqrt(q * q + p[..., 2] * p[..., 2]) - r2
+
+    for z0 in range(0, size, chunk):
+        z1 = min(z0 + chunk, size)
+        # torch.meshgrid indexing='xy' swaps the first two axes relative
+        # to 'ij' (create_synthetic_volumes.py:55): grid[i,j,k] =
+        # (ls[j], ls[i], ls[k])
+        gy, gx, gz = np.meshgrid(
+            ls[z0:z1], ls, ls, indexing="ij"
+        )  # rows i in [z0,z1): x-coord = ls[j] varies along axis 1
+        pos = np.stack([gx, gy, gz], axis=-1)
+        masks = [
+            np_sdf_sphere(pos, [-0.45, -0.45, -0.35], 0.32) <= 0,
+            np_sdf_torus(pos, [0.40, 0.35, 0.15], 0.35, 0.13) <= 0,
+            np.abs(np_sdf_sphere(pos, [0.35, -0.45, -0.30], 0.28)) < 0.07,
+        ]
+        for i, (mask, intensity) in enumerate(
+            zip(masks, (0.90, 0.60, 0.35)), start=1
+        ):
+            vol[z0:z1][mask] = intensity
+            labels[z0:z1][mask] = i
     if noise > 0.0:
-        key = jax.random.PRNGKey(seed)
-        vol = jnp.clip(vol + jax.random.uniform(key, vol.shape) * noise, 0.0, 1.0)
-    return np.asarray(vol, np.float32), np.asarray(labels, np.uint8)
+        for z0 in range(0, size, chunk):
+            z1 = min(z0 + chunk, size)
+            vol[z0:z1] = np.clip(
+                vol[z0:z1]
+                + rng.random((z1 - z0, size, size), np.float32) * noise,
+                0.0, 1.0,
+            )
+    return vol, labels
 
 
 def write_synthetic_volumes(

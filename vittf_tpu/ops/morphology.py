@@ -8,6 +8,8 @@ TPU-native replacements for the reference's scipy.ndimage / conv3d usage:
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -65,32 +67,45 @@ def generate_binary_structure(rank: int = 3, connectivity: int = 1) -> np.ndarra
     return (np.abs(grid).sum(axis=0) <= connectivity)
 
 
+@functools.partial(jax.jit, static_argnames=("offsets", "radii"))
+def _erosion_shift_counts(mask_u8, offsets, radii):
+    """Sum the mask over the structuring element's true cells via padded
+    shifts — each offset is one elementwise add over the volume. A real
+    lax conv here is a trap: XLA's TPU conv lowering materializes a
+    patches buffer that reaches ~70 GB for a 3³ kernel over a 512³ volume
+    (measured AOT OOM); ≤27 shift-adds are bandwidth-bound and safe at
+    any size the pipeline handles.
+    """
+    padded = jnp.pad(
+        mask_u8, [(r, r) for r in radii]
+    )  # zeros == scipy border_value=0
+    shape = mask_u8.shape
+    counts = jnp.zeros(shape, jnp.uint8)
+    for off in offsets:
+        idx = tuple(
+            slice(r + o, r + o + s) for r, o, s in zip(radii, off, shape)
+        )
+        counts = counts + padded[idx]
+    return counts
+
+
 def binary_erosion(mask: jnp.ndarray, structure: np.ndarray | None = None) -> jnp.ndarray:
     """scipy.ndimage.binary_erosion parity (border_value=0).
 
     A voxel survives iff every 1-cell of the structuring element lies on a
     true voxel; outside the volume counts as false (scipy default).
-    Implemented as a min-reduce window over the complement conv: we erode
-    by checking conv(mask, structure) == structure.sum().
     """
     mask = jnp.asarray(mask)
     if structure is None:
         structure = generate_binary_structure(mask.ndim, 1)
-    structure = np.asarray(structure).astype(np.float32)
-    k = structure.shape
-    x5 = make_5d(mask.astype(jnp.float32))
-    kern = jnp.asarray(structure).reshape(1, 1, *k)
-    counts = jax.lax.conv_general_dilated(
-        x5, kern,
-        window_strides=(1, 1, 1),
-        padding=[(s // 2, s // 2) for s in k],
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        precision="highest",
+    structure = np.asarray(structure).astype(bool)
+    radii = tuple(s // 2 for s in structure.shape)
+    offsets = tuple(
+        tuple(int(c) - r for c, r in zip(cell, radii))
+        for cell in np.argwhere(structure)
     )
-    # zero padding == scipy border_value=0: off-edge cells contribute 0 to
-    # the count, so border windows can never reach structure.sum()
-    eroded = counts >= structure.sum() - 0.5
-    return eroded.reshape(mask.shape)
+    counts = _erosion_shift_counts(mask.astype(jnp.uint8), offsets, radii)
+    return counts == np.uint8(len(offsets))
 
 
 def binary_fill_holes(mask: jnp.ndarray, max_iter: int | None = None) -> jnp.ndarray:
