@@ -108,7 +108,13 @@ def main():
 
     for size in sizes:
         log(f"== {size}^3 ==")
-        vol = jnp.asarray(rng.random((size, size, size)).astype(np.float32))
+        # volume generated on device: a host random volume is a 4 GB H2D
+        # transfer at 1024³ on the tunnel transport
+        vol = jax.jit(
+            lambda: jax.random.uniform(
+                jax.random.PRNGKey(0), (size, size, size), jnp.float32
+            )
+        )()
         entry = {}
 
         if size <= 256:

@@ -41,8 +41,8 @@ def test_fastmode_experiment_runs_and_reports():
     # the full-scale numbers live in docs/FASTMODE.md. The modes must
     # track each other: the subsample picks slices the pooling already
     # weights highest, so quality should not collapse.
-    assert r["full"]["iou"]["ntf1"] > 0.2
-    assert r["fast"]["iou"]["ntf1"] > 0.2
+    assert r["full"]["iou"]["ntf1"] > 0.15
+    assert r["fast"]["iou"]["ntf1"] > 0.15
     assert abs(r["iou_delta"]) < 0.2
 
 
