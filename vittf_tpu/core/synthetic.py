@@ -103,50 +103,51 @@ def make_multiclass_volume(
 
     Returns (volume float32 (size³), labels uint8 (size³)).
 
-    Evaluated host-side in z-chunks (a full (size³, 3) position grid is
-    12 GB at 1024³ — chunking keeps the generator usable at the volume
-    sizes the throughput benchmarks run at).
+    Evaluated host-side with separable broadcasting (position axes are
+    independent: grid[i,j,k] = (ls[j], ls[i], ls[k]) in the reference's
+    'xy' meshgrid convention, create_synthetic_volumes.py:55) — no full
+    (size³, 3) position grid (12 GB at 1024³) and no per-voxel sqrt
+    (sphere/shell compare squared distances; the torus' one sqrt lives on
+    a (size, size) xy-plane and broadcasts over z).
     """
     ls = np.linspace(-1.0, 1.0, size, dtype=np.float32)
     vol = np.zeros((size, size, size), np.float32)
     labels = np.zeros((size, size, size), np.uint8)
-    rng = np.random.default_rng(seed)
-    chunk = max(1, min(size, 2**27 // (size * size)))
 
-    def np_sdf_sphere(pos, c, r):
-        return np.linalg.norm(pos - np.asarray(c, np.float32), axis=-1) - r
+    def sq(c, axis):
+        d = (ls - np.float32(c)) ** 2
+        shape = [1, 1, 1]
+        shape[axis] = size
+        return d.reshape(shape)
 
-    def np_sdf_torus(pos, c, r1, r2):
-        p = pos - np.asarray(c, np.float32)
-        q = np.linalg.norm(p[..., :2], axis=-1) - r1
-        return np.sqrt(q * q + p[..., 2] * p[..., 2]) - r2
+    def sphere_d2(c):
+        # x = ls[j] (axis 1), y = ls[i] (axis 0), z = ls[k] (axis 2)
+        return sq(c[0], 1) + sq(c[1], 0) + sq(c[2], 2)
 
-    for z0 in range(0, size, chunk):
-        z1 = min(z0 + chunk, size)
-        # torch.meshgrid indexing='xy' swaps the first two axes relative
-        # to 'ij' (create_synthetic_volumes.py:55): grid[i,j,k] =
-        # (ls[j], ls[i], ls[k])
-        gy, gx, gz = np.meshgrid(
-            ls[z0:z1], ls, ls, indexing="ij"
-        )  # rows i in [z0,z1): x-coord = ls[j] varies along axis 1
-        pos = np.stack([gx, gy, gz], axis=-1)
-        masks = [
-            np_sdf_sphere(pos, [-0.45, -0.45, -0.35], 0.32) <= 0,
-            np_sdf_torus(pos, [0.40, 0.35, 0.15], 0.35, 0.13) <= 0,
-            np.abs(np_sdf_sphere(pos, [0.35, -0.45, -0.30], 0.28)) < 0.07,
-        ]
-        for i, (mask, intensity) in enumerate(
-            zip(masks, (0.90, 0.60, 0.35)), start=1
-        ):
-            vol[z0:z1][mask] = intensity
-            labels[z0:z1][mask] = i
+    # class 1: filled sphere — d² ≤ r²
+    m1 = sphere_d2([-0.45, -0.45, -0.35]) <= np.float32(0.32**2)
+    # class 2: filled torus — (|xy|-r1)² + z² ≤ r2²; the xy-norm is a
+    # (size, size) plane broadcast over z
+    q = np.sqrt(sq(0.40, 1) + sq(0.35, 0)) - np.float32(0.35)  # (size,size,1)
+    m2 = q * q + sq(0.15, 2) <= np.float32(0.13**2)
+    # class 3: sphere shell — (r-t)² < d² < (r+t)²
+    d2 = sphere_d2([0.35, -0.45, -0.30])
+    m3 = (d2 > np.float32((0.28 - 0.07) ** 2)) & (d2 < np.float32((0.28 + 0.07) ** 2))
+
+    for i, (mask, intensity) in enumerate(
+        [(m1, 0.90), (m2, 0.60), (m3, 0.35)], start=1
+    ):
+        vol[mask] = intensity
+        labels[mask] = i
     if noise > 0.0:
+        rng = np.random.default_rng(seed)
+        chunk = max(1, min(size, 2**27 // max(size * size, 1)))
         for z0 in range(0, size, chunk):
             z1 = min(z0 + chunk, size)
-            vol[z0:z1] = np.clip(
+            np.clip(
                 vol[z0:z1]
-                + rng.random((z1 - z0, size, size), np.float32) * noise,
-                0.0, 1.0,
+                + rng.random((z1 - z0, size, size)).astype(np.float32) * noise,
+                0.0, 1.0, out=vol[z0:z1],
             )
     return vol, labels
 

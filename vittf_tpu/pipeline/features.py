@@ -269,13 +269,17 @@ def _extract_axis(
 ):
     """One axis sweep → pooled (F, o0, o1, o2) feature volume per key.
 
-    ``vol_normed`` is the min-max-normalized (W, H, D) volume; ImageNet
+    ``vol_normed`` is the raw fp32 (W, H, D) volume — min-max
+    normalization happens HERE inside the jit (an eager normalized copy
+    would stay resident across dispatches: 4 GB at 1024³); ImageNet
     normalization happens inside the scan after the 1→3 channel expand.
     """
+    from vittf_tpu.utils.tensor import norm_minmax
+
     dtype = jnp.dtype(compute_dtype)
     slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis) = prepare_axis_batches(
-        vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size, slice_subsample,
-        pool_slice_axis,
+        norm_minmax(vol_normed), cfg, axis, im_sz, feat_out_sz, batch_size,
+        slice_subsample, pool_slice_axis,
     )
     key_idx = tuple(_qkv_index(k) for k in return_keys)
     acc = _scan_pooled_extraction(
@@ -332,8 +336,11 @@ def _extract_all_axes_fused(
     to the sequential path: same per-axis batch order, same final
     z+y+x accumulator addition order.
     """
+    from vittf_tpu.utils.tensor import norm_minmax
+
     dtype = jnp.dtype(compute_dtype)
     key_idx = tuple(_qkv_index(k) for k in return_keys)
+    vol_normed = norm_minmax(vol_normed)
     stacks = []
     geom = None
     for ax in ("z", "y", "x"):
@@ -402,13 +409,12 @@ def extract_features(
     per-axis pooled volumes are summed (infer.py:327-333; the reference's
     fp16 accumulation is widened to fp32 here, stored half by the CLI).
     """
-    from vittf_tpu.utils.tensor import norm_minmax
-
     vol = jnp.asarray(vol, dtype=jnp.float32)
     im_sz, feat_out_sz = compute_im_sizes(
         vol.shape[-3:], cfg.feature_output_size, model_cfg.patch_size
     )
-    vol_normed = norm_minmax(vol)
+    # normalization happens inside the per-axis jits (no resident copy)
+    vol_normed = vol
 
     if _fused_all_applicable(vol, cfg):
         # cubic 'all' sweep: one dispatch/compile for all three axes
