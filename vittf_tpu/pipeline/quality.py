@@ -72,6 +72,28 @@ def ntf_predict(
     return pred, {"extract_s": t_extract, "similarity_s": t_sim}
 
 
+def _sample_background(
+    labels: np.ndarray, n: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Uniform background voxels by rejection sampling.
+
+    ``sample_uniform(labels == 0, ...)`` materializes argwhere over the
+    whole background (~21 GB of int64 coords at 1024³); background covers
+    most of the phantom, so drawing random voxels and keeping the
+    label-0 ones converges in one or two rounds at any size.
+    """
+    out: list[np.ndarray] = []
+    got = 0
+    while got < n:
+        cand = np.stack(
+            [rng.integers(0, s, 4 * n) for s in labels.shape], axis=1
+        )
+        keep = cand[labels[cand[:, 0], cand[:, 1], cand[:, 2]] == 0]
+        out.append(keep[: n - got])
+        got += len(out[-1])
+    return np.concatenate(out)
+
+
 def fastmode_quality_experiment(
     size: int,
     params: dict,
@@ -88,7 +110,6 @@ def fastmode_quality_experiment(
     extraction-mode effect.
     """
     from vittf_tpu.core.synthetic import make_multiclass_volume
-    from vittf_tpu.pipeline.annotations import sample_uniform
 
     vol, labels = make_multiclass_volume(size, seed=seed)
     rng = np.random.default_rng(seed)
@@ -97,8 +118,8 @@ def fastmode_quality_experiment(
     # annotate background too — evaluate_similarities.py label2idx): voxels
     # fused to it are relabeled 0 so the background has a competitor
     n_fg = len(annotations)
-    annotations["bg"] = sample_uniform(
-        np.asarray(labels) == 0, n_annotations, rng=rng
+    annotations["bg"] = _sample_background(
+        np.asarray(labels), n_annotations, rng
     )
     names = ["background"] + [k for k in annotations if k != "bg"]
 
