@@ -3,17 +3,18 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Two captured configs (one invocation):
+Captured configs (one invocation):
   1. 256³ volume — reference-parity full sweep AND slice-subsample fast
      mode, plus similarity (5×256 annotations) and interactive
      re-similarity p50.
-  2. 512³ volume — fast mode (the headline config: quality-validated in
-     docs/FASTMODE.md, mIoU delta vs the full sweep is negligible on the
-     labeled phantom).
+  2. 512³ and 1024³ volumes — fast mode. Quality-validated in
+     docs/FASTMODE.md: on the labeled phantom, fast mode's mIoU is equal
+     to the full sweep at 2× subsampling and BETTER at 4×/8×/16× (the
+     full sweep's slice pooling blurs; picking does not).
 
-Both use DINO ViT-S/8 (random weights — FLOPs identical to pretrained),
+All use DINO ViT-S/8 (random weights — FLOPs identical to pretrained),
 3-axis sweep at feature-output-size 64, bf16 compute with the fused
-Pallas block kernel. value = the headline 512³ fast-mode Mvoxel/s;
+Pallas block kernel. value = the largest volume's fast-mode Mvoxel/s;
 the metric string carries the full table.
 
 vs_baseline: the reference never committed wall-times (BASELINE.md), so
@@ -73,7 +74,7 @@ def main():
     fos = int(os.environ.get("BENCH_FOS", "64"))
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     sizes = tuple(
-        int(s) for s in os.environ.get("BENCH_SIZES", "256,512").split(",")
+        int(s) for s in os.environ.get("BENCH_SIZES", "256,512,1024").split(",")
     )
 
     from vittf_tpu.models.dino import DINO_ARCHS
