@@ -71,6 +71,10 @@ def bench_extract(vol, params, cfg, ex_cfg, label, flops):
 
 
 def main():
+    # NOTE: do NOT enable jax_compilation_cache_dir here — the axon
+    # backend hangs on it (measured: a 256³-only bench stalled >30 min at
+    # the first compile with the cache enabled vs ~14 min cold /
+    # ~1 min warm without it)
     fos = int(os.environ.get("BENCH_FOS", "64"))
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     sizes = tuple(

@@ -10,7 +10,6 @@ interchangeable with the functional API via ``.params_pytree`` /
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from vittf_tpu.models.vit import ViTConfig, init_vit_params, vit_forward_raw

@@ -69,11 +69,42 @@ class ViTConfig:
 
 
 def init_vit_params(cfg: ViTConfig, key: jax.Array, dtype=jnp.float32) -> dict:
-    """Random (trunc-normal 0.02) initialization with the DINO layout."""
-    k = iter(jax.random.split(key, 4 + 8 * cfg.depth))
+    """Random (trunc-normal 0.02) initialization with the DINO layout.
 
-    def tn(key, shape, std=0.02):
-        return (jax.random.truncated_normal(key, -2, 2, shape) * std).astype(dtype)
+    With a concrete key, initialization runs HOST-side (numpy) and the
+    result is device_put by jnp: device-side ``jax.random`` here would
+    trigger one XLA compile per distinct parameter shape at process
+    start, which costs minutes when the tunnel's remote compile service
+    is cold — measured as a ~15 min stall before the first benchmark
+    section. Under tracing (e.g. flax ``init``), the jax.random path is
+    used instead. Deterministic in ``key`` per path.
+    """
+    try:
+        seed = np.asarray(key).tolist()  # fails on traced keys
+    except Exception:
+        seed = None
+
+    if seed is not None:
+        rng = np.random.default_rng(seed)
+
+        def tn(_key, shape, std=0.02):
+            # rejection-sampled truncation at ±2σ (truncated_normal's
+            # support; the random init's exact distribution is immaterial)
+            x = rng.standard_normal(shape)
+            bad = np.abs(x) > 2
+            while bad.any():
+                x[bad] = rng.standard_normal(int(bad.sum()))
+                bad = np.abs(x) > 2
+            return jnp.asarray(x * std, dtype)
+
+        k = iter(range(4 + 8 * cfg.depth))  # draw order fixed by construction
+    else:
+        k = iter(jax.random.split(key, 4 + 8 * cfg.depth))
+
+        def tn(kk, shape, std=0.02):
+            return (
+                jax.random.truncated_normal(kk, -2, 2, shape) * std
+            ).astype(dtype)
 
     def linear(kk, din, dout):
         return {"kernel": tn(kk, (din, dout)), "bias": jnp.zeros((dout,), dtype)}
