@@ -264,3 +264,24 @@ def test_fused_all_not_applicable_non_cubic(rng):
     assert FT._fused_all_applicable(
         big, dataclasses.replace(cfg, slice_subsample=True)
     )
+
+
+def test_uint8_volume_matches_fp32(rng):
+    """Integer volumes stay compact on device; min-max normalization per
+    batch makes them numerically identical to extracting the fp32 cast."""
+    import jax
+
+    from vittf_tpu.models.vit import init_vit_params
+    from tests.test_vit import TINY
+
+    params = init_vit_params(TINY, jax.random.PRNGKey(5))
+    vol_u8 = rng.integers(0, 256, (16, 16, 16)).astype(np.uint8)
+    cfg = ExtractConfig(
+        feature_output_size=4, slice_along="all", batch_size=4,
+        precision="highest", attn_impl="xla",
+    )
+    got = np.asarray(extract_features(vol_u8, params, TINY, cfg)["k"])
+    want = np.asarray(
+        extract_features(vol_u8.astype(np.float32), params, TINY, cfg)["k"]
+    )
+    np.testing.assert_array_equal(got, want)

@@ -111,10 +111,20 @@ def _axis_geometry(cfg, axis, im_sz, feat_out_sz):
 
 def _slice_batch_features(
     params, batch, cfg, img_hw, f_hw, key_idx, precision, attn_impl,
-    dtype, feature_source, block_impl,
+    dtype, feature_source, block_impl, mima=None,
 ):
-    """One slice batch through the ViT → per-key (B, fh·fw, D) fp32."""
-    imgs = resize_nearest(batch, img_hw)  # (B, C, h, w)
+    """One slice batch through the ViT → per-key (B, fh·fw, D) fp32.
+
+    ``mima``: optional (global min, global max) fp32 scalars — when set,
+    the batch arrives in the volume's RAW dtype (possibly uint8/16) and
+    min-max normalization happens here, after the nearest resize (which
+    commutes with elementwise ops exactly). Keeping the volume compact
+    until this point halves/quarters HBM residency for integer volumes.
+    """
+    imgs = resize_nearest(batch, img_hw)  # (B, C, h, w), raw dtype
+    if mima is not None:
+        # identical arithmetic to utils.tensor.norm_minmax (same division)
+        imgs = (imgs.astype(jnp.float32) - mima[0]) / (mima[1] - mima[0])
     if imgs.shape[1] == 1:
         # scalar volumes replicate 1→3 channels (infer.py:154)
         imgs = jnp.broadcast_to(imgs, (batch.shape[0], 3) + img_hw)
@@ -134,7 +144,7 @@ def _slice_batch_features(
 def _scan_pooled_extraction(
     params, slices_b, w_pool_b, cfg, img_hw, f_hw, o_ax,
     key_idx, precision, attn_impl, dtype, feature_source="qkv",
-    block_impl="xla",
+    block_impl="xla", mima=None,
 ):
     """Core scan over slice batches with fused slice-axis pooling.
 
@@ -160,7 +170,7 @@ def _scan_pooled_extraction(
         batch, w_rows = inp  # (B, C, a, b), ([A,] o_ax, B)
         fks = _slice_batch_features(
             params, batch, cfg, img_hw, f_hw, key_idx, precision,
-            attn_impl, dtype, feature_source, block_impl,
+            attn_impl, dtype, feature_source, block_impl, mima,
         )
         new_carry = []
         for ci, fk in enumerate(fks):
@@ -269,22 +279,27 @@ def _extract_axis(
 ):
     """One axis sweep → pooled (F, o0, o1, o2) feature volume per key.
 
-    ``vol_normed`` is the raw fp32 (W, H, D) volume — min-max
-    normalization happens HERE inside the jit (an eager normalized copy
-    would stay resident across dispatches: 4 GB at 1024³); ImageNet
-    normalization happens inside the scan after the 1→3 channel expand.
+    ``vol_normed`` is the raw (W, H, D) volume in any dtype (fp32, fp16,
+    uint8/16) — only its global min/max scalars are computed here; the
+    slice stacks keep the compact dtype and min-max normalization happens
+    per batch inside the scan (a normalized fp32 copy would stay resident
+    across dispatches: 4 GB at 1024³); ImageNet normalization follows the
+    1→3 channel expand.
     """
-    from vittf_tpu.utils.tensor import norm_minmax
-
     dtype = jnp.dtype(compute_dtype)
+    mima = (
+        vol_normed.min().astype(jnp.float32),
+        vol_normed.max().astype(jnp.float32),
+    )
     slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis) = prepare_axis_batches(
-        norm_minmax(vol_normed), cfg, axis, im_sz, feat_out_sz, batch_size,
+        vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size,
         slice_subsample, pool_slice_axis,
     )
     key_idx = tuple(_qkv_index(k) for k in return_keys)
     acc = _scan_pooled_extraction(
         params, slices_b, w_pool_b, cfg, img_hw, f_hw, o_ax,
         key_idx, precision, attn_impl, dtype, feature_source, block_impl,
+        mima,
     )
     D = cfg.embed_dim if feature_source == "qkv" else cfg.embed_dim // 3
     return {
@@ -336,11 +351,12 @@ def _extract_all_axes_fused(
     to the sequential path: same per-axis batch order, same final
     z+y+x accumulator addition order.
     """
-    from vittf_tpu.utils.tensor import norm_minmax
-
     dtype = jnp.dtype(compute_dtype)
     key_idx = tuple(_qkv_index(k) for k in return_keys)
-    vol_normed = norm_minmax(vol_normed)
+    mima = (
+        vol_normed.min().astype(jnp.float32),
+        vol_normed.max().astype(jnp.float32),
+    )
     stacks = []
     geom = None
     for ax in ("z", "y", "x"):
@@ -367,6 +383,7 @@ def _extract_all_axes_fused(
     acc = _scan_pooled_extraction(
         params, slices_all, w_all, cfg, img_hw, f_hw, o_ax,
         key_idx, precision, attn_impl, dtype, feature_source, block_impl,
+        mima,
     )
     D = cfg.embed_dim if feature_source == "qkv" else cfg.embed_dim // 3
     out = {}
@@ -409,11 +426,15 @@ def extract_features(
     per-axis pooled volumes are summed (infer.py:327-333; the reference's
     fp16 accumulation is widened to fp32 here, stored half by the CLI).
     """
-    vol = jnp.asarray(vol, dtype=jnp.float32)
+    vol = jnp.asarray(vol)
+    if vol.dtype not in (jnp.uint8, jnp.uint16, jnp.int16, jnp.float16,
+                         jnp.bfloat16, jnp.float32):
+        vol = vol.astype(jnp.float32)
     im_sz, feat_out_sz = compute_im_sizes(
         vol.shape[-3:], cfg.feature_output_size, model_cfg.patch_size
     )
-    # normalization happens inside the per-axis jits (no resident copy)
+    # normalization happens inside the per-axis jits (no resident fp32
+    # copy; integer volumes stay compact until the per-batch cast)
     vol_normed = vol
 
     if _fused_all_applicable(vol, cfg):
