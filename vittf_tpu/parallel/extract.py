@@ -34,7 +34,6 @@ from vittf_tpu.pipeline.features import (
     compute_im_sizes,
     prepare_axis_batches,
 )
-from vittf_tpu.utils.tensor import norm_minmax
 
 
 def _pad_batches_to(slices_b, w_pool_b, ndata):
@@ -56,11 +55,16 @@ def extract_features_sharded(
     mesh: Mesh,
 ) -> dict[str, jnp.ndarray]:
     """Data-parallel ``extract_features`` over ``mesh``'s ``data`` axis."""
-    vol = jnp.asarray(vol, jnp.float32)
+    vol = jnp.asarray(vol)
+    if not jnp.issubdtype(vol.dtype, jnp.floating) or vol.dtype == jnp.float64:
+        vol = vol if vol.dtype in (jnp.uint8, jnp.uint16, jnp.int16) else vol.astype(jnp.float32)
     im_sz, feat_out_sz = compute_im_sizes(
         vol.shape, cfg.feature_output_size, model_cfg.patch_size
     )
-    vol_normed = norm_minmax(vol)
+    # same contract as pipeline.features: slice stacks keep the raw dtype,
+    # min-max normalization happens per batch in the scan from scalars
+    mima = (vol.min().astype(jnp.float32), vol.max().astype(jnp.float32))
+    vol_normed = vol
     ndata = mesh.shape["data"]
     dtype = jnp.dtype(cfg.compute_dtype)
     key_idx = tuple(_qkv_index(k) for k in cfg.return_keys)
@@ -87,7 +91,7 @@ def extract_features_sharded(
             acc = _scan_pooled_extraction(
                 p, sb, wb, model_cfg, img_hw, f_hw, o_ax,
                 key_idx, cfg.precision, cfg.attn_impl, dtype,
-                cfg.feature_source, cfg.block_impl,
+                cfg.feature_source, cfg.block_impl, mima,
             )
             return tuple(jax.lax.psum(a, "data") for a in acc)
 
