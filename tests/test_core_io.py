@@ -90,3 +90,21 @@ def test_write_synthetic_volumes(tmp_path):
     assert len(written) == 8
     vol = load_volume(tmp_path / "torus_filled.npy")
     assert vol.shape == (16, 16, 16)
+
+
+def test_load_volume_preserve_dtype(tmp_path):
+    import numpy as np
+
+    from vittf_tpu.core.io import load_volume
+
+    vol_u8 = np.random.default_rng(0).integers(0, 256, (6, 7, 8)).astype(np.uint8)
+    p = tmp_path / "v.npy"
+    np.save(p, vol_u8)
+    # parity default: fp32 (reference infer.py load_data .float())
+    assert load_volume(p).dtype == np.float32
+    kept = load_volume(p, preserve_dtype=True)
+    assert kept.dtype == np.uint8
+    np.testing.assert_array_equal(kept, vol_u8)
+    # float64 always becomes fp32, preserve or not
+    np.save(p, vol_u8.astype(np.float64))
+    assert load_volume(p, preserve_dtype=True).dtype == np.float32

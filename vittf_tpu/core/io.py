@@ -54,25 +54,34 @@ def _atomic_save(path: Path, write_fn) -> Path:
     return path
 
 
-def load_volume(data_path: str | Path) -> np.ndarray:
+def load_volume(data_path: str | Path, preserve_dtype: bool = False) -> np.ndarray:
     """Load a 3D scalar volume from ``.npy``/``.pt``/``.pth``.
 
     Parity with reference infer.py:212-237: dict payloads use the ``'vol'``
     key; npy object arrays are unwrapped; result is float32 and 3D.
+
+    ``preserve_dtype=True`` keeps compact storage dtypes (uint8/16, int16,
+    fp16) instead of casting — the extraction pipeline normalizes per
+    batch from these directly, quartering device residency for uint8 CT
+    volumes (results are bit-identical to the fp32 cast).
     """
+    _KEEP = (np.uint8, np.uint16, np.int16, np.float16)
+
+    def cast(a):
+        a = _to_numpy(a)
+        if preserve_dtype and a.dtype in _KEEP:
+            return a
+        return a.astype(np.float32)
+
     data_path = Path(data_path)
     if not data_path.exists():
         raise FileNotFoundError(data_path)
     if data_path.suffix in (".pt", ".pth"):
         data = _load_pt(data_path)
-        vol = data["vol"] if isinstance(data, dict) else data
-        vol = _to_numpy(vol).astype(np.float32)
+        vol = cast(data["vol"] if isinstance(data, dict) else data)
     elif data_path.suffix == ".npy":
         data = np.load(data_path, allow_pickle=True)
-        if data.dtype == "O":
-            vol = data[()]["vol"].astype(np.float32)
-        else:
-            vol = data.astype(np.float32)
+        vol = cast(data[()]["vol"] if data.dtype == "O" else data)
     else:
         raise ValueError(f"Unsupported file extension: {data_path.suffix}")
     vol = np.squeeze(vol)
