@@ -6,11 +6,19 @@ Prints ONE JSON line:
 Captured configs (one invocation):
   1. 256³ volume — reference-parity full sweep AND slice-subsample fast
      mode, plus similarity (5×256 annotations) and interactive
-     re-similarity p50.
+     re-similarity p50 — both no-BLS and BLS-on (the reference's
+     interactive loop includes the bilateral solve, predict_ntf.py:73-96).
   2. 512³ and 1024³ volumes — fast mode. Quality-validated in
      docs/FASTMODE.md: on the labeled phantom, fast mode's mIoU is equal
      to the full sweep at 2× subsampling and BETTER at 4×/8×/16× (the
      full sweep's slice pooling blurs; picking does not).
+  3. At the largest size, ONE artifact-to-artifact run: host uint8 array
+     → H2D → fast extraction (compact dtype) → fp16 features fetched and
+     saved — the CLI user's actual end-to-end number.
+
+When more than one device is visible (or BENCH_MESH=1), extraction runs
+the sharded fused 3-axis path over a data mesh (parallel/extract.py) and
+MFU / vs_baseline denominators scale with the chip count.
 
 All use DINO ViT-S/8 (random weights — FLOPs identical to pretrained),
 3-axis sweep at feature-output-size 64, bf16 compute with the fused
@@ -48,24 +56,51 @@ def _fence_arr(x) -> None:
     np.asarray(jax.device_get(x.ravel()[0]))
 
 
-def bench_extract(vol, params, cfg, ex_cfg, label, flops):
+def make_bench_mesh():
+    """Data mesh over all visible devices when more than one is present.
+
+    The sharded extraction path (parallel/extract.py) runs the same fused
+    3-axis scan per device shard with one trailing psum, so on real
+    multi-chip hardware the bench measures it instead of the single-chip
+    path. BENCH_MESH=0 forces single-device; BENCH_MESH=1 forces a mesh
+    (useful on a virtual CPU mesh)."""
+    flag = os.environ.get("BENCH_MESH", "auto")
+    if flag == "0" or (flag == "auto" and len(jax.devices()) < 2):
+        return None
+    from vittf_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(data=len(jax.devices()))
+
+
+def bench_extract(vol, params, cfg, ex_cfg, label, flops, mesh=None):
     from vittf_tpu.pipeline.features import extract_features
     from vittf_tpu.utils.flops import TPU_V5E_BF16_PEAK
 
+    if mesh is not None:
+        from vittf_tpu.parallel.extract import extract_features_sharded
+
+        def run():
+            return extract_features_sharded(vol, params, cfg, ex_cfg, mesh)["k"]
+    else:
+
+        def run():
+            return extract_features(vol, params, cfg, ex_cfg)["k"]
+
     t0 = time.perf_counter()
-    feats = extract_features(vol, params, cfg, ex_cfg)["k"]
+    feats = run()
     _fence_arr(feats)
     log(f"  {label} compile+run: {time.perf_counter() - t0:.2f}s; feats {feats.shape}")
 
     t0 = time.perf_counter()
-    feats = extract_features(vol, params, cfg, ex_cfg)["k"]
+    feats = run()
     _fence_arr(feats)
     t = time.perf_counter() - t0
+    nchips = mesh.shape["data"] if mesh is not None else 1
     tflops = flops / t / 1e12
-    mfu = flops / t / TPU_V5E_BF16_PEAK
+    mfu = flops / t / (TPU_V5E_BF16_PEAK * nchips)
     log(
         f"  {label}: {t:.3f}s, {tflops:.1f} TFLOP/s analytic "
-        f"({mfu * 100:.1f}% of v5e bf16 peak)"
+        f"({mfu * 100:.1f}% of {nchips}-chip v5e bf16 peak)"
     )
     return feats, t, mfu
 
@@ -88,6 +123,9 @@ def main():
     from vittf_tpu.utils.flops import extraction_flops
 
     log(f"devices: {jax.devices()}")
+    mesh = make_bench_mesh()
+    if mesh is not None:
+        log(f"mesh mode: data={mesh.shape['data']} (sharded extraction)")
     cfg = DINO_ARCHS["vits8"]
     params = init_vit_params(cfg, jax.random.PRNGKey(0))
 
@@ -126,14 +164,14 @@ def main():
             # reference-parity full sweep (every slice, 3 axes)
             _, t_full, mfu_full = bench_extract(
                 vol, params, cfg, ex_cfg, "full sweep",
-                extraction_flops((size,) * 3, cfg, ex_cfg),
+                extraction_flops((size,) * 3, cfg, ex_cfg), mesh=mesh,
             )
             entry["full_s"] = t_full
             entry["full_mfu"] = mfu_full
 
         feats, t_fast, mfu_fast = bench_extract(
             vol, params, cfg, fast_cfg, "fast mode",
-            extraction_flops((size,) * 3, cfg, fast_cfg),
+            extraction_flops((size,) * 3, cfg, fast_cfg), mesh=mesh,
         )
         entry["fast_s"] = t_fast
         entry["fast_mfu"] = mfu_fast
@@ -153,6 +191,47 @@ def main():
         entry["sim_s"] = time.perf_counter() - t0
         log(f"  similarity: {entry['sim_s']:.3f}s")
 
+        if size == max(sizes):
+            # artifact-to-artifact path ONCE per invocation: host uint8
+            # array → H2D → fast extraction (compact-dtype path, the
+            # --preserve-dtype CT use case) → fp16 feature volume fetched
+            # and saved. This is the number a CLI user actually gets
+            # (reference infer.py:212-237, 337-340); the compute-only
+            # lines above deliberately exclude the artifact boundary.
+            import tempfile
+
+            from vittf_tpu.pipeline.features import extract_features
+
+            host_vol = rng.integers(0, 256, (size,) * 3, dtype=np.uint8)
+
+            def artifact_run():
+                dev = jnp.asarray(host_vol)  # H2D transfer, timed
+                if mesh is not None:
+                    from vittf_tpu.parallel.extract import (
+                        extract_features_sharded,
+                    )
+
+                    fe = extract_features_sharded(
+                        dev, params, cfg, fast_cfg, mesh
+                    )["k"]
+                else:
+                    fe = extract_features(dev, params, cfg, fast_cfg)["k"]
+                # stored half like the reference CLI (infer.py:134, 337)
+                return np.asarray(fe.astype(jnp.float16))  # D2H transfer
+
+            artifact_run()  # uint8-signature compile warmup
+            t0 = time.perf_counter()
+            fe_h = artifact_run()
+            with tempfile.NamedTemporaryFile(suffix=".npy") as tf:
+                np.save(tf, fe_h)
+            entry["artifact_s"] = time.perf_counter() - t0
+            entry["mvps_artifact"] = size**3 / entry["artifact_s"] / 1e6
+            log(
+                f"  artifact-to-artifact (uint8 in, fp16 feats saved): "
+                f"{entry['artifact_s']:.2f}s = "
+                f"{entry['mvps_artifact']:.1f} Mvoxel/s"
+            )
+
         voxels = size**3
         if "full_s" in entry:
             entry["mvps_full"] = voxels / (entry["full_s"] + entry["sim_s"]) / 1e6
@@ -167,7 +246,7 @@ def main():
         )
         table[size] = entry
 
-        if size == 256:
+        if size == int(os.environ.get("BENCH_INTERACTIVE_SIZE", "256")):
             # interactive re-similarity p50 (features cached, annotations move)
             lat = []
             for _ in range(10):
@@ -182,6 +261,35 @@ def main():
             table["p50_ms"] = float(np.median(lat)) * 1e3
             log(f"  interactive re-similarity p50: {table['p50_ms']:.1f}ms (n=10)")
 
+            # BLS-ON interactive p50: the reference's interactive loop runs
+            # the bilateral solve on every re-similarity
+            # (predict_ntf.py:73-96) — capture that steady-state latency
+            # too (bucketed shapes, warm graphs; VERDICT r2 weak #4)
+            def bls_once(ann):
+                s = compute_similarities(
+                    vol, feats, ann, bilateral_solver=True,
+                    bls_shape_bucket=8,
+                )
+                return fence_sims(s)
+
+            t0 = time.perf_counter()
+            bls_once(ann)
+            log(f"  BLS-on warmup (compile): {time.perf_counter() - t0:.1f}s")
+            lat = []
+            for _ in range(5):
+                ann = {
+                    f"cls{i}": rng.integers(0, size, (256, 3)).astype(np.int64)
+                    for i in range(5)
+                }
+                t0 = time.perf_counter()
+                bls_once(ann)
+                lat.append(time.perf_counter() - t0)
+            table["p50_bls_ms"] = float(np.median(lat)) * 1e3
+            log(
+                f"  interactive re-similarity p50 with BLS: "
+                f"{table['p50_bls_ms']:.1f}ms (n=5)"
+            )
+
     headline_size = max(s for s in sizes)
     value = table[headline_size]["mvps_fast"]
     parts = []
@@ -190,14 +298,23 @@ def main():
         seg = f"{size}^3 fast {e['mvps_fast']:.1f}"
         if "mvps_full" in e:
             seg += f" / parity-full {e['mvps_full']:.2f}"
+        if "mvps_artifact" in e:
+            seg += f" / artifact {e['mvps_artifact']:.1f}"
         parts.append(seg)
+    nchips = mesh.shape["data"] if mesh is not None else 1
     metric = (
-        "e2e feature+similarity Mvoxel/s, ViT-S/8 fos64 bf16 fused, 1 chip "
+        f"e2e feature+similarity Mvoxel/s, ViT-S/8 fos64 bf16 fused, "
+        f"{nchips} chip{'s (sharded)' if nchips > 1 else ''} "
         f"[{'; '.join(parts)}]"
         f"; fast-mode quality: docs/FASTMODE.md"
         + (
             f"; re-sim p50 {table['p50_ms']:.0f}ms"
             if "p50_ms" in table
+            else ""
+        )
+        + (
+            f" / BLS-on {table['p50_bls_ms']:.0f}ms"
+            if "p50_bls_ms" in table
             else ""
         )
     )
@@ -207,7 +324,8 @@ def main():
                 "metric": metric,
                 "value": round(value, 3),
                 "unit": "Mvoxel/s",
-                "vs_baseline": round(value / 125.0, 4),
+                # north-star share scales with the chips actually used
+                "vs_baseline": round(value / (125.0 * nchips), 4),
             }
         )
     )

@@ -54,6 +54,46 @@ def test_sharded_similarity_matches_single_device(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_fused_all_axes_matches_single_device(model_pair, rng):
+    """Cubic 'all' sweeps take the fused single-dispatch 3-axis scan in the
+    sharded path too (round-3: parity with pipeline._extract_all_axes_fused);
+    must match the single-device result."""
+    from vittf_tpu.parallel import extract as px
+
+    _, params = model_pair
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    cfg = ExtractConfig(
+        feature_output_size=4, slice_along="all", batch_size=2,
+        precision="highest", attn_impl="xla",
+    )
+    assert px._fused_all_applicable(jnp.asarray(vol), cfg)
+    want = extract_features(jnp.asarray(vol), params, TINY, cfg)["k"]
+    got = extract_features_sharded(
+        jnp.asarray(vol), params, TINY, cfg, make_mesh(data=4)
+    )["k"]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_fused_fast_mode_matches_single_device(model_pair, rng):
+    """Fast mode (slice_subsample) through the fused sharded sweep, with a
+    batch count NOT divisible by the mesh (exercises zero-weight padding)."""
+    _, params = model_pair
+    vol = rng.random((12, 12, 12)).astype(np.float32)
+    cfg = ExtractConfig(
+        feature_output_size=4, slice_along="all", batch_size=2,
+        precision="highest", attn_impl="xla", slice_subsample=True,
+    )
+    want = extract_features(jnp.asarray(vol), params, TINY, cfg)["k"]
+    got = extract_features_sharded(
+        jnp.asarray(vol), params, TINY, cfg, make_mesh(data=8)
+    )["k"]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_sharded_extraction_with_slice_subsample(model_pair, rng):
     """The fast mode must also be exact under DP sharding."""
     _, params = model_pair

@@ -55,12 +55,17 @@ def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, hd: int):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Bq, Np); padded columns are exactly 0
+    # NOTE: padded columns clamp m at >= 0, so this softmax is not
+    # shift-invariant for all-negative rows; valid scores < -126 (exp2
+    # domain) would underflow the denominator. Out of range for real ViT
+    # activations; the clamp keeps that case finite (0-output, not NaN).
     m = jnp.max(s, axis=-1, keepdims=True)  # ≥ 0 when padded
     p = jnp.exp2(s - m)
     o_ext = jnp.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )  # (Bq, Wv)
-    o = o_ext[:, :hd] * pl.reciprocal(o_ext[:, hd:hd + 1], approx=False)
+    denom = jnp.maximum(o_ext[:, hd:hd + 1], jnp.float32(1e-38))
+    o = o_ext[:, :hd] * pl.reciprocal(denom, approx=False)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -112,7 +117,8 @@ def _attention_pallas(q, k, v, num_heads, interpret=False):
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * npad * npad * hd,
-            bytes_accessed=3 * B * H * npad * hd * q.dtype.itemsize,
+            # q + k at hd lanes, widened V at wv lanes, output at hd lanes
+            bytes_accessed=B * H * npad * (3 * hd + wv) * q.dtype.itemsize,
             transcendentals=B * H * npad * npad,
         ),
         interpret=interpret,

@@ -141,12 +141,18 @@ def _fused_block_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (Rb, Np); padded key columns are exactly 0
+            # NOTE: padded score columns clamp m at >= 0, so the softmax
+            # is NOT shift-invariant for all-negative rows: if every valid
+            # score is < -126 (exp2 domain), p underflows and the
+            # denominator hits 0. Unreachable with real ViT activations
+            # (|scores| stay O(10)); the clamp below keeps the pathological
+            # case at 0-output instead of NaN.
             m = jnp.max(s, axis=-1, keepdims=True)  # ≥ 0 when padded
             p = jnp.exp2(s - m)
             o_ext = jnp.dot(
                 p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
             )  # (Rb, 128): [:, :hd] numerator, [:, hd] = Σ_valid p
-            denom = o_ext[:, hd:hd + 1]
+            denom = jnp.maximum(o_ext[:, hd:hd + 1], jnp.float32(1e-38))
             o = o_ext[:, :hd] * pl.reciprocal(denom, approx=False)
             outs.append(o.astype(x.dtype))
         attn = jnp.concatenate(outs, axis=-1)  # (Rb, D)
@@ -181,6 +187,14 @@ def fused_block(
     LayerScale (DINOv2 'ls1'/'ls2' gammas) is applied when present."""
     B, N, D = x.shape
     hd = D // num_heads
+    # the expanded-V layout gives each head a 128-lane stripe: hd value
+    # lanes + 1 indicator lane. hd >= 128 would silently collide with the
+    # next head's stripe — guard it (all DINO archs have hd = 64).
+    if hd >= 128:
+        raise ValueError(
+            f"fused_block expanded-V layout requires head_dim < 128 "
+            f"(got {hd}); use block_impl='xla' for this geometry"
+        )
     Hd = blk["fc1"]["kernel"].shape[1]
     npad = -(-N // _ROW_BLOCK) * _ROW_BLOCK
     nv = N if n_valid is None else n_valid

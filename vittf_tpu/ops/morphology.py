@@ -76,11 +76,15 @@ def _erosion_shift_counts(mask_u8, offsets, radii):
     (measured AOT OOM); ≤27 shift-adds are bandwidth-bound and safe at
     any size the pipeline handles.
     """
+    # uint8 accumulation would wrap for structures with > 255 true cells
+    # (internal callers max out at 27, but the public API takes arbitrary
+    # scipy-style structures)
+    acc_dtype = jnp.uint8 if len(offsets) <= 255 else jnp.int32
     padded = jnp.pad(
-        mask_u8, [(r, r) for r in radii]
+        mask_u8.astype(acc_dtype), [(r, r) for r in radii]
     )  # zeros == scipy border_value=0
     shape = mask_u8.shape
-    counts = jnp.zeros(shape, jnp.uint8)
+    counts = jnp.zeros(shape, acc_dtype)
     for off in offsets:
         idx = tuple(
             slice(r + o, r + o + s) for r, o, s in zip(radii, off, shape)
@@ -105,7 +109,7 @@ def binary_erosion(mask: jnp.ndarray, structure: np.ndarray | None = None) -> jn
         for cell in np.argwhere(structure)
     )
     counts = _erosion_shift_counts(mask.astype(jnp.uint8), offsets, radii)
-    return counts == np.uint8(len(offsets))
+    return counts == len(offsets)
 
 
 def binary_fill_holes(mask: jnp.ndarray, max_iter: int | None = None) -> jnp.ndarray:

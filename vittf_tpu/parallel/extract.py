@@ -26,7 +26,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from vittf_tpu.models.vit import ViTConfig
 from vittf_tpu.pipeline.features import (
+    _AXIS_RULES,
     ExtractConfig,
+    _fused_all_applicable,
     _pool_to,
     _pooled_to_volume,
     _qkv_index,
@@ -37,14 +39,83 @@ from vittf_tpu.pipeline.features import (
 
 
 def _pad_batches_to(slices_b, w_pool_b, ndata):
+    """Pad the batch axis to a multiple of ndata; zero pool weights make
+    the padding exact. Handles both (nb, o, B) and (nb, A, o, B) weights."""
     nb = slices_b.shape[0]
     nb_pad = -(-nb // ndata) * ndata
     if nb_pad != nb:
         slices_b = jnp.pad(
             slices_b, ((0, nb_pad - nb),) + ((0, 0),) * (slices_b.ndim - 1)
         )
-        w_pool_b = jnp.pad(w_pool_b, ((0, nb_pad - nb), (0, 0), (0, 0)))
+        w_pool_b = jnp.pad(
+            w_pool_b, ((0, nb_pad - nb),) + ((0, 0),) * (w_pool_b.ndim - 1)
+        )
     return slices_b, w_pool_b
+
+
+def _extract_fused_sharded(vol, params, model_cfg, cfg, mesh, im_sz,
+                           feat_out_sz, mima):
+    """Sharded twin of pipeline.features._extract_all_axes_fused: all three
+    axis sweeps concatenated into ONE shard_map'd scan (one dispatch/compile
+    instead of three), batches sharded over ``data``, pooled accumulators
+    combined with one psum. Exact for the same reason the sequential fused
+    path is: off-axis pool-weight rows are zero and zero-padded batches
+    carry zero weight."""
+    ndata = mesh.shape["data"]
+    dtype = jnp.dtype(cfg.compute_dtype)
+    key_idx = tuple(_qkv_index(k) for k in cfg.return_keys)
+    stacks = []
+    geom = None
+    for ax in ("z", "y", "x"):
+        s_b, w_b, g = prepare_axis_batches(
+            vol, model_cfg, ax, im_sz, feat_out_sz, cfg.batch_size,
+            cfg.slice_subsample, True,
+        )
+        stacks.append((s_b, w_b))
+        assert geom is None or g[:3] == geom[:3], (
+            "fused sweep needs equal slice geometry"
+        )
+        geom = g
+    img_hw, f_hw, o_ax, _ = geom
+    nb = stacks[0][0].shape[0]
+
+    slices_all = jnp.concatenate([s for s, _ in stacks], axis=0)
+    w_all = jnp.zeros((3, nb, 3, o_ax, cfg.batch_size), jnp.float32)
+    for a, (_, w_b) in enumerate(stacks):
+        w_all = w_all.at[a, :, a].set(w_b)
+    w_all = w_all.reshape(3 * nb, 3, o_ax, cfg.batch_size)
+    slices_all, w_all = _pad_batches_to(slices_all, w_all, ndata)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(p, sb, wb):
+        acc = _scan_pooled_extraction(
+            p, sb, wb, model_cfg, img_hw, f_hw, o_ax,
+            key_idx, cfg.precision, cfg.attn_impl, dtype,
+            cfg.feature_source, cfg.block_impl, mima,
+        )
+        return tuple(jax.lax.psum(a, "data") for a in acc)
+
+    acc = jax.jit(run)(params, slices_all, w_all)
+    D = (
+        model_cfg.embed_dim
+        if cfg.feature_source == "qkv"
+        else model_cfg.embed_dim // 3
+    )
+    out = {}
+    for name, pooled in zip(cfg.return_keys, acc):  # (3, o_ax, hw, D)
+        vols = [
+            _pooled_to_volume(pooled[a], f_hw, o_ax, _AXIS_RULES[ax][2], D)
+            for a, ax in enumerate(("z", "y", "x"))
+        ]
+        vols = [_pool_to(v, feat_out_sz) for v in vols]
+        out[name] = (vols[0] + vols[1]) + vols[2]  # z+y+x, parity order
+    return out
 
 
 def extract_features_sharded(
@@ -65,6 +136,13 @@ def extract_features_sharded(
     # min-max normalization happens per batch in the scan from scalars
     mima = (vol.min().astype(jnp.float32), vol.max().astype(jnp.float32))
     vol_normed = vol
+    if _fused_all_applicable(vol, cfg):
+        # cubic 'all' sweep: one sharded dispatch/compile for all three axes
+        return _extract_fused_sharded(
+            vol_normed, params, model_cfg, cfg, mesh, im_sz, feat_out_sz,
+            mima,
+        )
+
     ndata = mesh.shape["data"]
     dtype = jnp.dtype(cfg.compute_dtype)
     key_idx = tuple(_qkv_index(k) for k in cfg.return_keys)

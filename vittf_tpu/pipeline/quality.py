@@ -149,3 +149,156 @@ def fastmode_quality_experiment(
         out["full"]["extract_s"] / out["fast"]["extract_s"]
     )
     return out
+
+
+def _predict_and_score(vol, feats, annotations, labels, names, n_fg):
+    """similarity → fuse → upscale → metrics for a given feature volume."""
+    sims = compute_similarities(jnp.asarray(vol, jnp.float32), feats, annotations)
+    pred = fuse_predictions(sims, [0.25] * len(sims))
+    pred = np.asarray(upscale_prediction(pred, vol.shape))
+    pred = np.where(pred == n_fg + 1, 0, pred)  # bg class → label 0
+    m = segmentation_metrics(labels, pred, names)
+    fg_iou = {k: v for k, v in m["iou"].items() if k != "background"}
+    return {
+        "mIoU_fg": float(np.mean(list(fg_iou.values()))),
+        "iou": fg_iou,
+        "accuracy": m["mAcc"],
+    }
+
+
+def structured_quality_experiment(
+    size: int,
+    fos: int | None = None,
+    train_iterations: int = 150,
+    n_annotations: int = 256,
+    seed: int = 0,
+) -> dict:
+    """Fast-vs-full A/B on a TRAINED (non-random) feature distribution.
+
+    The round-2 fast-mode quality table was measured with random-weight
+    ViT features (random projections of intensity), where slice *picking*
+    wins over slice *pooling* almost by construction. This experiment
+    re-measures the pooled-vs-picked delta on features that vary smoothly
+    and semantically along the slice axis: the repo's own dense
+    contrastive trainer (train/dense.py, the reference's old/train.py
+    capability) is trained on the labeled phantom, its full-resolution
+    feature volume is unit-normalized per voxel, and the extraction
+    pipeline's two slice-axis treatments are emulated exactly:
+
+      full: per sweep axis, adaptive-avg-pool the slice axis S → fos
+            (what the full ViT sweep's fused pooling does, infer.py:329)
+      fast: per sweep axis, keep the fos slices nearest the output grid
+            (slice_subsample; the reference's commented-out sketch,
+            infer.py:160-166)
+
+    In-plane reduction is the same adaptive pool for both modes (in the
+    ViT path the in-plane grid comes from the patch embedding, identical
+    across modes), and the three per-axis volumes are summed exactly like
+    the 'all' sweep — so the mIoU delta isolates pool-vs-pick on a
+    structured feature distribution. Identical annotations feed both
+    modes. Returns the same table shape as ``fastmode_quality_experiment``
+    plus training metadata.
+    """
+    from vittf_tpu.core.synthetic import make_multiclass_volume
+    from vittf_tpu.ops.resize import adaptive_avg_pool
+    from vittf_tpu.pipeline.features import _subsample_slice_indices
+    from vittf_tpu.train.dense import (
+        DenseContrastiveConfig,
+        DenseContrastiveTrainer,
+    )
+
+    if fos is None:
+        fos = max(size // 4, 4)
+    vol, labels = make_multiclass_volume(size, seed=seed)
+    n_classes = int(labels.max())
+    names = ["background"] + [f"c{i}" for i in range(1, n_classes + 1)]
+
+    tcfg = DenseContrastiveConfig(
+        iterations=train_iterations, samples_per_iteration=4,
+        neg_count=min(1024, size**2),
+    )
+    trainer = DenseContrastiveTrainer(vol, labels, names, tcfg, seed=seed)
+    for _ in range(train_iterations):
+        rec = trainer.step()
+    feats = trainer.dense_features()  # (F, Z, Y, X) full resolution
+    feats = feats / jnp.maximum(
+        jnp.linalg.norm(feats, axis=0, keepdims=True), 1e-12
+    )
+
+    rng = np.random.default_rng(seed)
+    annotations = annotations_from_labels(labels, n_annotations, "both", rng=rng)
+    n_fg = len(annotations)
+    annotations["bg"] = _sample_background(np.asarray(labels), n_annotations, rng)
+
+    def emulate(mode: str) -> jnp.ndarray:
+        per_axis = []
+        for ax in range(3):  # slice axis of each sweep
+            f = feats
+            S = f.shape[1 + ax]
+            if mode == "fast" and S > fos:
+                pick = _subsample_slice_indices(S, fos)
+                f = jnp.take(f, jnp.asarray(pick), axis=1 + ax)
+            # remaining reduction (in-plane + any residual slice-axis) is
+            # the same adaptive pool in both modes
+            per_axis.append(adaptive_avg_pool(f, (fos,) * 3))
+        return (per_axis[0] + per_axis[1]) + per_axis[2]
+
+    out: dict = {
+        "size": size,
+        "fos": fos,
+        "n_annotations": n_annotations,
+        "seed": seed,
+        "feature_source": "dense-contrastive-trained",
+        "train_iterations": train_iterations,
+        "final_train_loss": float(rec["loss"]),
+        "classes": names[1:],
+    }
+    for mode in ("full", "fast"):
+        out[mode] = _predict_and_score(
+            vol, emulate(mode), annotations, labels, names, n_fg
+        )
+    out["iou_delta"] = out["full"]["mIoU_fg"] - out["fast"]["mIoU_fg"]
+    return out
+
+
+def fastmode_seed_budget_sweep(
+    size: int,
+    params: dict,
+    model_cfg,
+    base_cfg: ExtractConfig,
+    budgets: tuple = (64, 256, 1024),
+    seeds: tuple = (0, 1, 2),
+) -> dict:
+    """ViT-path fast-vs-full A/B across annotation budgets × seeds.
+
+    Each seed draws a fresh phantom AND fresh annotations, so the spread
+    of ``iou_delta`` over seeds bounds the noise of any single-point
+    quality claim (VERDICT r2 weak #1). Returns per-cell results plus a
+    delta summary (mean/min/max over all cells).
+    """
+    cells = []
+    for budget in budgets:
+        for seed in seeds:
+            r = fastmode_quality_experiment(
+                size, params, model_cfg, base_cfg,
+                n_annotations=budget, seed=seed,
+            )
+            cells.append(
+                {
+                    "budget": budget,
+                    "seed": seed,
+                    "full_mIoU": r["full"]["mIoU_fg"],
+                    "fast_mIoU": r["fast"]["mIoU_fg"],
+                    "iou_delta": r["iou_delta"],
+                }
+            )
+    deltas = [c["iou_delta"] for c in cells]
+    return {
+        "size": size,
+        "budgets": list(budgets),
+        "seeds": list(seeds),
+        "cells": cells,
+        "delta_mean": float(np.mean(deltas)),
+        "delta_min": float(np.min(deltas)),
+        "delta_max": float(np.max(deltas)),
+    }

@@ -125,16 +125,21 @@ class ContrastiveTrainer:
         through an external RLE decoder (old/train_semisparse_old.py:14,
         ``from rle_shit import decode_from_annotation``); this is that
         input path: per-class runs → voxel coordinates → class_indices.
+
+        Class ids are assigned 1..K in the annotation dict's insertion
+        order (matching the exporting GUI's label order), with empty
+        classes skipped so the id sequence has no gaps; the mapping is
+        recorded in ``self.class_names`` ({id: name}).
         """
         from vittf_tpu.core.rle import decode_from_annotation
 
         coords = decode_from_annotation(annotation, tuple(np.shape(vol)))
         self = cls(vol, np.zeros(np.shape(vol), np.int32), cfg=cfg, seed=seed)
+        names = [n for n in coords if coords[n].shape[0] > 0]
         self.class_indices = {
-            i + 1: np.asarray(coords[name])
-            for i, name in enumerate(sorted(coords))
-            if coords[name].shape[0] > 0
+            i + 1: np.asarray(coords[n]) for i, n in enumerate(names)
         }
+        self.class_names = {i + 1: n for i, n in enumerate(names)}
         return self
 
     def _choice(self, n_avail, n_want):
