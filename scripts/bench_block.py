@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--tokens", type=int, default=4097)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--impls", nargs="*", default=["fused", "xla"])
+    ap.add_argument("--impls", nargs="*", default=["fused", "rows", "xla"])
     args = ap.parse_args()
 
     from vittf_tpu.models.dino import DINO_ARCHS
@@ -46,13 +46,15 @@ def main():
     flops = cfg.depth * B * fb
 
     def run_stack(impl):
-        if impl == "fused":
+        if impl in ("fused", "rows"):
             from vittf_tpu.ops.fused_block import fused_block
+
+            kimpl = "rows" if impl == "rows" else "loop"
 
             @jax.jit
             def f(x):
                 for i in range(cfg.depth):
-                    x = fused_block(x, blocks[i], cfg.num_heads)
+                    x = fused_block(x, blocks[i], cfg.num_heads, impl=kimpl)
                 return x
 
         else:

@@ -19,32 +19,92 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 
-def main() -> None:
+def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="*", default=[128, 256])
     ap.add_argument("--fos", type=int, default=64)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--annotations", type=int, default=256)
     ap.add_argument("--block-impl", default="fused")
+    ap.add_argument(
+        "--structured", action="store_true",
+        help="fast-vs-full A/B on dense-contrastive-TRAINED features "
+             "(non-random; VERDICT r2 item 1) instead of the ViT path",
+    )
+    ap.add_argument("--train-iters", type=int, default=200,
+                    help="trainer iterations for --structured")
+    ap.add_argument(
+        "--sweep", action="store_true",
+        help="ViT-path A/B across --budgets x --seeds at each size",
+    )
+    ap.add_argument("--budgets", type=int, nargs="*", default=[64, 256, 1024])
+    ap.add_argument("--seeds", type=int, nargs="*", default=[0, 1, 2])
+    ap.add_argument("--cpu", action="store_true", help="force CPU platform")
     ap.add_argument("--out", default=None, help="optional JSON output path")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from vittf_tpu.pipeline.quality import (
+        fastmode_quality_experiment,
+        fastmode_seed_budget_sweep,
+        structured_quality_experiment,
+    )
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    if args.structured:
+        results = []
+        for size in args.sizes:
+            r = structured_quality_experiment(
+                size, fos=args.fos if args.fos < size else None,
+                train_iterations=args.train_iters,
+                n_annotations=args.annotations,
+            )
+            results.append(r)
+            print(
+                f"structured {size}^3 (fos {r['fos']}): full mIoU "
+                f"{r['full']['mIoU_fg']:.4f} | fast mIoU "
+                f"{r['fast']['mIoU_fg']:.4f} | delta {r['iou_delta']:+.4f} "
+                f"(train loss {r['final_train_loss']:.2f})",
+                file=sys.stderr,
+            )
+        _emit(results, args.out)
+        return
 
     from vittf_tpu.models.dino import DINO_ARCHS
     from vittf_tpu.models.vit import init_vit_params
     from vittf_tpu.pipeline.features import ExtractConfig
-    from vittf_tpu.pipeline.quality import fastmode_quality_experiment
 
-    print(f"devices: {jax.devices()}", file=sys.stderr)
     cfg = DINO_ARCHS["vits8"]
     params = init_vit_params(cfg, jax.random.PRNGKey(0))
+    on_cpu = jax.devices()[0].platform == "cpu"
     ex_cfg = ExtractConfig(
         feature_output_size=args.fos,
         slice_along="all",
         batch_size=args.batch,
         attn_impl="auto",
-        compute_dtype="bfloat16",
-        block_impl=args.block_impl,
+        compute_dtype="float32" if on_cpu else "bfloat16",
+        block_impl="xla" if on_cpu else args.block_impl,
     )
+
+    if args.sweep:
+        results = []
+        for size in args.sizes:
+            r = fastmode_seed_budget_sweep(
+                size, params, cfg, ex_cfg,
+                budgets=tuple(args.budgets), seeds=tuple(args.seeds),
+            )
+            results.append(r)
+            print(
+                f"sweep {size}^3: delta mean {r['delta_mean']:+.4f} "
+                f"(min {r['delta_min']:+.4f}, max {r['delta_max']:+.4f}) "
+                f"over {len(r['cells'])} cells",
+                file=sys.stderr,
+            )
+        _emit(results, args.out)
+        return
 
     results = []
     for size in args.sizes:
@@ -63,10 +123,13 @@ def main() -> None:
             f"{r['speedup']:.1f}x",
             file=sys.stderr,
         )
+    _emit(results, args.out)
 
+
+def _emit(results, out):
     print(json.dumps(results, indent=2))
-    if args.out:
-        with open(args.out, "w") as f:
+    if out:
+        with open(out, "w") as f:
             json.dump(results, f, indent=2)
 
 

@@ -52,6 +52,49 @@ def test_fused_block_stack_matches_xla(rng):
     )
 
 
+@pytest.mark.parametrize("n_tokens", [64, _ROW_BLOCK, 2 * _ROW_BLOCK + 17])
+def test_fused_block_rows_impl_matches_xla(rng, n_tokens):
+    """Grid-level row-block variant (impl='rows', grid=(B, n_rows) with
+    run-once K/V stages in persistent scratch) must match the XLA block."""
+    cfg = _mini_cfg()
+    params = init_vit_params(cfg, jax.random.PRNGKey(4))
+    blk = params["blocks"][0]
+    x = jnp.asarray(
+        rng.standard_normal((2, n_tokens, cfg.embed_dim)).astype(np.float32)
+    )
+    want, _ = _block(x, blk, cfg, "highest", "xla")
+    got = fused_block(x, blk, cfg.num_heads, interpret=True, impl="rows")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_block_rows_matches_loop_impl(rng):
+    """Both kernel variants share the row-block math — identical in
+    interpret mode up to accumulation determinism."""
+    cfg = _mini_cfg()
+    params = init_vit_params(cfg, jax.random.PRNGKey(5))
+    blk = params["blocks"][0]
+    x = jnp.asarray(
+        rng.standard_normal((1, _ROW_BLOCK + 3, cfg.embed_dim)).astype(np.float32)
+    )
+    a = fused_block(x, blk, cfg.num_heads, interpret=True, impl="loop")
+    b = fused_block(x, blk, cfg.num_heads, interpret=True, impl="rows")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_fused_block_head_dim_guard():
+    """head_dim >= 128 would collide with the expanded-V indicator lanes;
+    the wrapper must refuse instead of returning wrong numbers."""
+    cfg = ViTConfig(
+        patch_size=8, embed_dim=256, depth=1, num_heads=2, img_size=32
+    )  # hd = 128
+    params = init_vit_params(cfg, jax.random.PRNGKey(6))
+    x = jnp.zeros((1, 64, 256), jnp.float32)
+    with pytest.raises(ValueError, match="head_dim"):
+        fused_block(x, params["blocks"][0], cfg.num_heads, interpret=True)
+
+
 def test_fused_block_layerscale(rng):
     """DINOv2 LayerScale gammas applied at both residuals."""
     cfg = ViTConfig(

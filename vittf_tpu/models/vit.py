@@ -261,7 +261,8 @@ def vit_forward_raw(
     x = x + interpolate_pos_embed(params["pos_embed"], (h, w)).astype(x.dtype)
 
     qkv_last = None
-    use_fused = block_impl == "fused" and dtype == jnp.bfloat16
+    # 'fused_rows' = grid-level row-block pipelined kernel variant
+    use_fused = block_impl in ("fused", "fused_rows") and dtype == jnp.bfloat16
     if use_fused:
         from vittf_tpu.ops.fused_block import fused_block
 
@@ -278,7 +279,10 @@ def vit_forward_raw(
             qkv_last = _linear(y, blk["qkv"], precision)
             return None, qkv_last
         if use_fused and want is None:
-            x = fused_block(x, blk, cfg.num_heads)
+            x = fused_block(
+                x, blk, cfg.num_heads,
+                impl="rows" if block_impl == "fused_rows" else "loop",
+            )
             continue
         x, cap = _block(x, blk, cfg, precision, attn_impl, capture=want)
         if cap is not None:

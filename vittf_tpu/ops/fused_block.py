@@ -126,55 +126,119 @@ def _fused_block_kernel(
 
     def row_body(i, _):
         rows = pl.ds(i * _ROW_BLOCK, _ROW_BLOCK)
-        qall = (
-            jnp.dot(
-                y_scr[rows, :], wq_ref[:], preferred_element_type=jnp.float32
-            ) + bq_ref[:]
-        ).astype(x.dtype)  # already in the exp2 domain (scale·log2e folded)
-        outs = []
-        for h in range(num_heads):  # static unroll → static lane slices
-            qh = qall[:, h * hd:(h + 1) * hd]
-            kh = k_scr[:, h * hd:(h + 1) * hd]
-            vh = v_scr[:, h * HW:(h + 1) * HW]  # (Np, 128) incl. indicator
-            s = jax.lax.dot_general(
-                qh, kh,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (Rb, Np); padded key columns are exactly 0
-            # NOTE: padded score columns clamp m at >= 0, so the softmax
-            # is NOT shift-invariant for all-negative rows: if every valid
-            # score is < -126 (exp2 domain), p underflows and the
-            # denominator hits 0. Unreachable with real ViT activations
-            # (|scores| stay O(10)); the clamp below keeps the pathological
-            # case at 0-output instead of NaN.
-            m = jnp.max(s, axis=-1, keepdims=True)  # ≥ 0 when padded
-            p = jnp.exp2(s - m)
-            o_ext = jnp.dot(
-                p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
-            )  # (Rb, 128): [:, :hd] numerator, [:, hd] = Σ_valid p
-            denom = jnp.maximum(o_ext[:, hd:hd + 1], jnp.float32(1e-38))
-            o = o_ext[:, :hd] * pl.reciprocal(denom, approx=False)
-            outs.append(o.astype(x.dtype))
-        attn = jnp.concatenate(outs, axis=-1)  # (Rb, D)
-        a = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
-        a = a.astype(x.dtype) + bproj_ref[0]
-        x2 = x_ref[0, rows, :] + a * ls_ref[0]
-        y2 = _ln(x2, ln2_ref[0], ln2_ref[1])
-        mid = jnp.dot(
-            y2, wfc1_ref[:], preferred_element_type=jnp.float32
-        ).astype(x.dtype) + bfc1_ref[0]
-        mid = jax.nn.gelu(mid, approximate=True)
-        m2 = jnp.dot(
-            mid, wfc2_ref[:], preferred_element_type=jnp.float32
-        ).astype(x.dtype) + bfc2_ref[0]
-        out_ref[0, rows, :] = x2 + m2 * ls_ref[1]
+        _row_block_body(
+            x_ref, wq_ref, wproj_ref, bproj_ref, wfc1_ref, bfc1_ref,
+            wfc2_ref, bfc2_ref, bq_ref, ln2_ref, ls_ref, y_scr, k_scr,
+            v_scr, out_ref.at[0, rows, :], rows, num_heads,
+        )
         return 0
 
     jax.lax.fori_loop(0, n_rows, row_body, 0)
 
 
+def _row_block_body(
+    x_ref, wq_ref, wproj_ref, bproj_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+    bfc2_ref, bq_ref, ln2_ref, ls_ref, y_scr, k_scr, v_scr, out_ref,
+    rows, num_heads,
+):
+    """Shared per-row-block math: q → per-head attention → proj → MLP.
+
+    Writes the block's output rows into ``out_ref`` (a (Rb, D) view)."""
+    D = x_ref.shape[-1]
+    hd = D // num_heads
+    HW = v_scr.shape[-1] // num_heads
+    dt = x_ref.dtype
+    qall = (
+        jnp.dot(
+            y_scr[rows, :], wq_ref[:], preferred_element_type=jnp.float32
+        ) + bq_ref[:]
+    ).astype(dt)  # already in the exp2 domain (scale·log2e folded)
+    outs = []
+    for h in range(num_heads):  # static unroll → static lane slices
+        qh = qall[:, h * hd:(h + 1) * hd]
+        kh = k_scr[:, h * hd:(h + 1) * hd]
+        vh = v_scr[:, h * HW:(h + 1) * HW]  # (Np, 128) incl. indicator
+        s = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Rb, Np); padded key columns are exactly 0
+        m = jnp.max(s, axis=-1, keepdims=True)  # ≥ 0 when padded
+        p = jnp.exp2(s - m)
+        o_ext = jnp.dot(
+            p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
+        )  # (Rb, 128): [:, :hd] numerator, [:, hd] = Σ_valid p
+        denom = jnp.maximum(o_ext[:, hd:hd + 1], jnp.float32(1e-38))
+        o = o_ext[:, :hd] * pl.reciprocal(denom, approx=False)
+        outs.append(o.astype(dt))
+    attn = jnp.concatenate(outs, axis=-1)  # (Rb, D)
+    a = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
+    a = a.astype(dt) + bproj_ref[0]
+    x2 = x_ref[0, rows, :] + a * ls_ref[0]
+    y2 = _ln(x2, ln2_ref[0], ln2_ref[1])
+    mid = jnp.dot(
+        y2, wfc1_ref[:], preferred_element_type=jnp.float32
+    ).astype(dt) + bfc1_ref[0]
+    mid = jax.nn.gelu(mid, approximate=True)
+    m2 = jnp.dot(
+        mid, wfc2_ref[:], preferred_element_type=jnp.float32
+    ).astype(dt) + bfc2_ref[0]
+    out_ref[...] = x2 + m2 * ls_ref[1]
+
+
+def _fused_block_kernel_rows(
+    x_ref,  # (1, Np, D) at (b, 0, 0): full residual stream, VMEM-resident
+    wq_ref, wk_ref, bq_ref, bk_ref, wv_ref, bv_ref,
+    wproj_ref, bproj_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    ln1_ref, ln2_ref, ls_ref,
+    out_ref,  # (1, ROW_BLOCK, D) at (b, i, 0)
+    y_scr, k_scr, v_scr,  # persistent VMEM, filled at i == 0
+    *, num_heads: int, n_pad: int,
+):
+    """Row-block-per-program variant: grid=(B, n_rows).
+
+    The K/V stages run ONCE per batch element (first row-block program;
+    VMEM scratch persists across the sequential grid) and each program
+    handles one row block — Mosaic can then overlap the output DMA and
+    the next program's prologue with the current VPU softmax tail, the
+    grid-level pipelining lever named in docs/STATUS.md. Measured on the
+    12-block ViT-S stack by scripts/bench_block.py (see --impl rows).
+    """
+    D = x_ref.shape[-1]
+    Np = x_ref.shape[1]
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        x = x_ref[0]
+        y_scr[:] = _ln(x, ln1_ref[0], ln1_ref[1])
+        y = y_scr[:]
+        k_scr[:] = (
+            jnp.dot(y, wk_ref[:], preferred_element_type=jnp.float32)
+            + bk_ref[:]
+        ).astype(y.dtype)
+        v_scr[:] = (
+            jnp.dot(y, wv_ref[:], preferred_element_type=jnp.float32)
+            + bv_ref[:]
+        ).astype(y.dtype)
+        if n_pad:
+            k_scr[pl.ds(Np - n_pad, n_pad), :] = jnp.zeros(
+                (n_pad, D), k_scr.dtype
+            )
+            v_scr[pl.ds(Np - n_pad, n_pad), :] = jnp.zeros(
+                (n_pad, v_scr.shape[-1]), v_scr.dtype
+            )
+
+    rows = pl.ds(i * _ROW_BLOCK, _ROW_BLOCK)
+    _row_block_body(
+        x_ref, wq_ref, wproj_ref, bproj_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+        bfc2_ref, bq_ref, ln2_ref, ls_ref, y_scr, k_scr, v_scr,
+        out_ref.at[0], rows, num_heads,
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "n_valid", "interpret")
+    jax.jit, static_argnames=("num_heads", "n_valid", "interpret", "impl")
 )
 def fused_block(
     x: jnp.ndarray,  # (B, N, D)
@@ -182,6 +246,7 @@ def fused_block(
     num_heads: int,
     n_valid: int | None = None,
     interpret: bool = False,
+    impl: str = "loop",  # 'loop' (fori over row blocks) | 'rows' (grid)
 ) -> jnp.ndarray:
     """Apply one transformer block with the fused kernel. bf16-oriented.
     LayerScale (DINOv2 'ls1'/'ls2' gammas) is applied when present."""
@@ -242,6 +307,46 @@ def fused_block(
         row2(blk["norm1"]), row2(blk["norm2"]), ls,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    scratch = [
+        pltpu.VMEM((npad, D), dt),  # y
+        pltpu.VMEM((npad, D), dt),  # k
+        pltpu.VMEM((npad, num_heads * HW), dt),  # expanded v
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * B * npad * D * (3 * D + D + 2 * Hd) + 4 * B * npad * npad * D,
+        bytes_accessed=2 * B * npad * D * dt.itemsize,
+        transcendentals=B * npad * npad,
+    )
+    params_cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if impl == "rows":
+        # grid=(B, n_rows): one program per row block, K/V stages run once
+        # per batch element into persistent scratch (see kernel docstring).
+        # No in-place aliasing here: out blocks stream while the full x
+        # block stays VMEM-resident across the row programs.
+        out = pl.pallas_call(
+            functools.partial(
+                _fused_block_kernel_rows,
+                num_heads=num_heads,
+                n_pad=npad - nv,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, npad, D), dt),
+            grid=(B, npad // _ROW_BLOCK),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, npad, D), lambda b, i: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ] + [full() for _ in range(15)],
+            out_specs=pl.BlockSpec(
+                (1, _ROW_BLOCK, D), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=scratch,
+            compiler_params=params_cp,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(*args)
+        return out[:, :N]
     out = pl.pallas_call(
         functools.partial(
             _fused_block_kernel,
@@ -257,22 +362,12 @@ def fused_block(
         out_specs=pl.BlockSpec(
             (1, npad, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((npad, D), dt),  # y
-            pltpu.VMEM((npad, D), dt),  # k
-            pltpu.VMEM((npad, num_heads * HW), dt),  # expanded v
-        ],
+        scratch_shapes=scratch,
         # the residual stream is updated in place (every row block is fully
         # read before it is written), saving one (Np, D) VMEM buffer pair
         input_output_aliases={0: 0},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
+        compiler_params=params_cp,
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * npad * D * (3 * D + D + 2 * Hd) + 4 * B * npad * npad * D,
-            bytes_accessed=2 * B * npad * D * dt.itemsize,
-            transcendentals=B * npad * npad,
-        ),
+        cost_estimate=cost,
     )(*args)
     return out[:, :N]

@@ -144,7 +144,7 @@ def _slice_batch_features(
 def _scan_pooled_extraction(
     params, slices_b, w_pool_b, cfg, img_hw, f_hw, o_ax,
     key_idx, precision, attn_impl, dtype, feature_source="qkv",
-    block_impl="xla", mima=None,
+    block_impl="xla", mima=None, init=None,
 ):
     """Core scan over slice batches with fused slice-axis pooling.
 
@@ -153,6 +153,10 @@ def _scan_pooled_extraction(
         w_pool_b: (nb, o_ax, B) per-batch slice-axis pool weight columns —
             or (nb, A, o_ax, B) for the fused all-axes sweep, in which
             case accumulators carry a leading A axis.
+        init: optional carried-in accumulators (one per key) — the
+            host-streamed path (pipeline/streamed.py) chains chunks of
+            batches through repeated calls, which is exact because the
+            accumulation is a plain ordered sum over batches.
 
     Returns one (o_ax, fh·fw, D) — or (A, o_ax, fh·fw, D) — fp32
     accumulator per requested key. The sum over batches distributes, so
@@ -178,7 +182,8 @@ def _scan_pooled_extraction(
             new_carry.append(carry[ci] + contrib)
         return tuple(new_carry), None
 
-    init = tuple(jnp.zeros(acc_shape, jnp.float32) for _ in key_idx)
+    if init is None:
+        init = tuple(jnp.zeros(acc_shape, jnp.float32) for _ in key_idx)
     acc, _ = jax.lax.scan(body, init, (slices_b, w_pool_b))
     return acc
 
