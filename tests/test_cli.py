@@ -47,6 +47,29 @@ def test_infer_features_artifact(data_dir):
     assert data["k"].shape == (384, 8, 8, 8)
 
 
+def test_infer_streamed_matches_resident(data_dir, tmp_path):
+    """--streamed must write the same feature artifact as the resident
+    path (fp16 store quantizes both identically)."""
+    out = tmp_path / "feats_streamed.npy"
+    rc = cli_infer.main(
+        [
+            "--data-path", str(data_dir / "volume.npy"),
+            "--cache-path", str(out),
+            "--feature-output-size", "8",
+            "--batch-size", "4",
+            "--precision", "highest",
+            "--streamed", "--chunk-batches", "2",
+        ]
+    )
+    assert rc == 0
+    resident = [p for p in data_dir.iterdir() if "features" in p.name][0]
+    want = np.load(resident, allow_pickle=True)[()]["k"]
+    got = np.load(out, allow_pickle=True)[()]["k"]
+    np.testing.assert_allclose(
+        got.astype(np.float32), want.astype(np.float32), rtol=2e-3, atol=2e-4
+    )
+
+
 def test_infer_refuses_overwrite(data_dir, capsys):
     with pytest.raises(SystemExit):
         cli_infer.main(

@@ -81,6 +81,40 @@ def test_similarity_pallas_interpret_vs_xla(rng, mean_first):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("mean_first", [False, True])
+def test_similarity_class_major_layout(rng, mean_first):
+    """out_layout='cn' (lane-dense class-major store) must equal the 'nc'
+    result transposed — XLA path exactly, Pallas interpret to tolerance."""
+    N, F_dim = 280, 16
+    counts = [1500] if mean_first else [5, 7, 3]
+    A = sum(counts)
+    feats = (rng.standard_normal((N, F_dim)) * 0.3).astype(np.float32)
+    qf = (rng.standard_normal((A, F_dim)) * 0.1).astype(np.float32)
+    m = jnp.asarray(class_mean_matrix(counts, A))
+    want = np.asarray(
+        similarity_xla(jnp.asarray(feats), jnp.asarray(qf), m, mean_first=mean_first)
+    ).T
+    got_x = np.asarray(
+        similarity_xla(
+            jnp.asarray(feats), jnp.asarray(qf), m, mean_first=mean_first,
+            out_layout="cn",
+        )
+    )
+    assert got_x.shape == (len(counts), N)
+    np.testing.assert_allclose(got_x, want, rtol=1e-5, atol=1e-6)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got_p = np.asarray(
+            similarity_pallas(
+                jnp.asarray(feats), jnp.asarray(qf), m, mean_first=mean_first,
+                out_layout="cn",
+            )
+        )
+    np.testing.assert_allclose(got_p, want, rtol=1e-4, atol=1e-5)
+
+
 def test_empty_class_does_not_crash(rng):
     """A zero-annotation class (mid-annotation GUI state) yields an all-zero
     column instead of a ZeroDivisionError."""

@@ -58,9 +58,22 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--compute-dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--block-impl", type=str, default="xla",
-                   choices=["xla", "fused"],
+                   choices=["xla", "fused", "fused_rows"],
                    help="'fused' = fused Pallas transformer-block kernel "
-                        "(bf16 speed mode only; ~25%% faster extraction)")
+                        "(bf16 speed mode only; ~25%% faster extraction); "
+                        "'fused_rows' = its row-block-pipelined variant")
+    p.add_argument("--fast", action="store_true",
+                   help="Slice-subsample fast mode: run the ViT only on "
+                        "the slices nearest the pooled output grid (the "
+                        "reference's sketched shortcut, infer.py:160-166); "
+                        "NOT artifact-parity with the full sweep")
+    p.add_argument("--streamed", action="store_true",
+                   help="Host-streamed extraction: volume stays in host "
+                        "memory, slice chunks stream to the device — for "
+                        "volumes past HBM residency (e.g. 2048^3)")
+    p.add_argument("--chunk-batches", type=int, default=8,
+                   help="Device-resident slice-batch chunk size for "
+                        "--streamed")
     p.add_argument("--preserve-dtype", action="store_true",
                    help="Keep compact volume dtypes (uint8/16, fp16) on "
                         "device instead of casting to fp32 — bit-identical "
@@ -120,9 +133,16 @@ def main(argv=None) -> int:
         precision=args.precision,
         compute_dtype=args.compute_dtype,
         block_impl=args.block_impl,
+        slice_subsample=args.fast,
     )
     t0 = time.time()
-    if args.data_parallel and len(jax.devices()) > 1:
+    if args.streamed:
+        from vittf_tpu.pipeline.streamed import extract_features_streamed
+
+        qkv = extract_features_streamed(
+            vol, params, cfg, ex_cfg, chunk_batches=args.chunk_batches
+        )
+    elif args.data_parallel and len(jax.devices()) > 1:
         from vittf_tpu.parallel.extract import extract_features_sharded
         from vittf_tpu.parallel.mesh import make_mesh
 

@@ -60,7 +60,7 @@ def class_mean_matrix(counts: list[int], total_padded: int) -> np.ndarray:
 
 def _similarity_kernel(
     f_ref, q_ref, m_ref, o_ref, *, threshold, exponent, mean_first, n_ablocks,
-    precision,
+    precision, class_major,
 ):
     j = pl.program_id(1)
 
@@ -76,10 +76,23 @@ def _similarity_kernel(
         s = _g(s, threshold, exponent)
     # the class-mean contraction is ~C/F of the kernel's FLOPs but dominates
     # the bf16 rounding error of the averaged maps — always run it fp32
-    o_ref[:] += jnp.dot(
-        s, m_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32,
-        precision="highest",
-    )
+    if class_major:
+        # (C, Bn) accumulator: C rides the 8-sublane axis and Bn fills the
+        # lanes, so the store tile is lane-dense (vs C≈5 of 128 lanes in
+        # the (Bn, C) layout) AND downstream consumers get the (C, N)
+        # volume order directly — no O(N·C) transpose after the kernel.
+        o_ref[:] += jax.lax.dot_general(
+            m_ref[:].astype(jnp.float32), s,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision="highest",
+        )
+    else:
+        o_ref[:] += jnp.dot(
+            s, m_ref[:].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision="highest",
+        )
 
     if mean_first:
         @pl.when(j == n_ablocks - 1)
@@ -88,7 +101,10 @@ def _similarity_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("threshold", "exponent", "mean_first", "precision")
+    jax.jit,
+    static_argnames=(
+        "threshold", "exponent", "mean_first", "precision", "out_layout",
+    ),
 )
 def similarity_pallas(
     feats: jnp.ndarray,  # (N, F)
@@ -98,11 +114,16 @@ def similarity_pallas(
     exponent: float = DEFAULT_EXPONENT,
     mean_first: bool = False,
     precision: str = "default",
+    out_layout: str = "nc",  # 'nc' → (N, C); 'cn' → (C, N) lane-dense
 ) -> jnp.ndarray:
-    """Fused similarity maps on TPU. Returns (N, C) float32.
+    """Fused similarity maps on TPU. Returns (N, C) — or (C, N) — float32.
 
     ``precision='highest'`` runs the MXU dots in multi-pass fp32 for
-    parity-grade artifacts (≈3× slower, still fused).
+    parity-grade artifacts (≈3× slower, still fused). ``out_layout='cn'``
+    stores the accumulator class-major: the (C, BLOCK_N) tile fills all
+    128 lanes (the (BLOCK_N, C) tile fills only C≈5) and matches the
+    (C, W, H, D) order the similarity pipeline wants, removing its
+    post-kernel transpose.
     """
     N, F = feats.shape
     A, C = class_mat.shape
@@ -115,6 +136,7 @@ def similarity_pallas(
     # zero query rows ⇒ s = 0 ⇒ g(0) = 0 and M rows are zero: padding exact
     m = jnp.pad(class_mat, ((0, apad - A), (0, 0)))
 
+    class_major = out_layout == "cn"
     n_ablocks = apad // _BLOCK_A
     grid = (npad // _BLOCK_N, n_ablocks)
     out = pl.pallas_call(
@@ -125,8 +147,11 @@ def similarity_pallas(
             mean_first=mean_first,
             n_ablocks=n_ablocks,
             precision=None if precision == "default" else precision,
+            class_major=class_major,
         ),
-        out_shape=jax.ShapeDtypeStruct((npad, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (C, npad) if class_major else (npad, C), jnp.float32
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -139,8 +164,14 @@ def similarity_pallas(
                 (_BLOCK_A, C), lambda i, j: (j, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (_BLOCK_N, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (C, _BLOCK_N), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            )
+            if class_major
+            else pl.BlockSpec(
+                (_BLOCK_N, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            )
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * fpad * apad + 2 * npad * apad * C,
@@ -148,7 +179,7 @@ def similarity_pallas(
             transcendentals=npad * apad,  # pow
         ),
     )(feats, qT, m)
-    return out[:N]
+    return out[:, :N] if class_major else out[:N]
 
 
 def similarity_xla(
@@ -159,19 +190,21 @@ def similarity_xla(
     exponent: float = DEFAULT_EXPONENT,
     mean_first: bool = False,
     precision: str = "highest",
+    out_layout: str = "nc",
 ) -> jnp.ndarray:
     """XLA reference path; same contract as ``similarity_pallas``."""
     s = jnp.einsum(
         "nf,af->na", feats.astype(jnp.float32), queries.astype(jnp.float32),
         precision=precision,
     )
+    eq = "na,ac->cn" if out_layout == "cn" else "na,ac->nc"
     if mean_first:
         return _g(
-            jnp.einsum("na,ac->nc", s, class_mat, precision=precision),
+            jnp.einsum(eq, s, class_mat, precision=precision),
             threshold, exponent,
         )
     return jnp.einsum(
-        "na,ac->nc", _g(s, threshold, exponent), class_mat, precision=precision
+        eq, _g(s, threshold, exponent), class_mat, precision=precision
     )
 
 
@@ -183,6 +216,7 @@ def fused_similarity_m(
     exponent: float = DEFAULT_EXPONENT,
     mean_first: bool = False,
     impl: str = "auto",
+    out_layout: str = "nc",
 ) -> jnp.ndarray:
     """Similarity maps with an explicit (A, C) class-mean matrix.
 
@@ -194,7 +228,10 @@ def fused_similarity_m(
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         impl = "pallas" if on_tpu else "xla"
     fn = similarity_pallas if impl == "pallas" else similarity_xla
-    return fn(feats_flat, queries, class_mat, threshold, exponent, mean_first)
+    return fn(
+        feats_flat, queries, class_mat, threshold, exponent, mean_first,
+        out_layout=out_layout,
+    )
 
 
 def fused_similarity(

@@ -73,13 +73,15 @@ def _similarities_device(
     qf = sample_features3d(features, rel, mode="bilinear")[0, 0]  # (A_pad, F)
 
     feats_flat = jnp.moveaxis(features, 0, -1).reshape(-1, F_dim)
-    sims_nc = fused_similarity_m(
+    # class-major kernel layout: the (C, N) store is lane-dense and already
+    # in volume order — no (N, C) → (C, W, H, D) transpose afterwards
+    sims_cn = fused_similarity_m(
         feats_flat, qf, class_mat,
         threshold=threshold, exponent=exponent,
-        mean_first=mean_first, impl=impl,
-    )  # (N, C)
+        mean_first=mean_first, impl=impl, out_layout="cn",
+    )  # (C, N)
     C = class_mat.shape[1]
-    sims = jnp.moveaxis(sims_nc.reshape(*feat_dims, C), -1, 0)
+    sims = sims_cn.reshape(C, *feat_dims)
 
     # per-class 0.99·max quantization + nearest resize (predict_ntf.py:95-100)
     quant = 0.99 * sims.max(axis=(1, 2, 3), keepdims=True)
@@ -114,13 +116,13 @@ def _raw_similarities_device(
     rel = rel_coords_from_abs(abs_coords, in_dims)
     qf = sample_features3d(features, rel, mode="bilinear")[0, 0]
     feats_flat = jnp.moveaxis(features, 0, -1).reshape(-1, F_dim)
-    sims_nc = fused_similarity_m(
+    sims_cn = fused_similarity_m(
         feats_flat, qf, class_mat,
         threshold=threshold, exponent=exponent,
-        mean_first=mean_first, impl=impl,
-    )
+        mean_first=mean_first, impl=impl, out_layout="cn",
+    )  # (C, N) — see _similarities_device
     C = class_mat.shape[1]
-    return jnp.moveaxis(sims_nc.reshape(*feat_dims, C), -1, 0)
+    return sims_cn.reshape(C, *feat_dims)
 
 
 def compute_similarities(
