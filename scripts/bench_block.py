@@ -46,15 +46,19 @@ def main():
     flops = cfg.depth * B * fb
 
     def run_stack(impl):
-        if impl in ("fused", "rows"):
+        if impl != "xla":
             from vittf_tpu.ops.fused_block import fused_block
 
-            kimpl = "rows" if impl == "rows" else "loop"
+            kimpl = "rows" if impl.startswith("rows") else "loop"
+            smax = not impl.endswith("nomax")
 
             @jax.jit
             def f(x):
                 for i in range(cfg.depth):
-                    x = fused_block(x, blocks[i], cfg.num_heads, impl=kimpl)
+                    x = fused_block(
+                        x, blocks[i], cfg.num_heads, impl=kimpl,
+                        softmax_max=smax,
+                    )
                 return x
 
         else:

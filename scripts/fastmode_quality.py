@@ -57,19 +57,30 @@ def main(argv=None) -> None:
     if args.structured:
         results = []
         for size in args.sizes:
-            r = structured_quality_experiment(
-                size, fos=args.fos if args.fos < size else None,
-                train_iterations=args.train_iters,
-                n_annotations=args.annotations,
-            )
-            results.append(r)
-            print(
-                f"structured {size}^3 (fos {r['fos']}): full mIoU "
-                f"{r['full']['mIoU_fg']:.4f} | fast mIoU "
-                f"{r['fast']['mIoU_fg']:.4f} | delta {r['iou_delta']:+.4f} "
-                f"(train loss {r['final_train_loss']:.2f})",
-                file=sys.stderr,
-            )
+            for seed in args.seeds:
+                r = structured_quality_experiment(
+                    size, fos=args.fos if args.fos < size else None,
+                    train_iterations=args.train_iters,
+                    n_annotations=args.annotations, seed=seed,
+                )
+                results.append(r)
+                print(
+                    f"structured {size}^3 seed {seed} (fos {r['fos']}): "
+                    f"full mIoU {r['full']['mIoU_fg']:.4f} | fast mIoU "
+                    f"{r['fast']['mIoU_fg']:.4f} | delta "
+                    f"{r['iou_delta']:+.4f} "
+                    f"(train loss {r['final_train_loss']:.2f})",
+                    file=sys.stderr,
+                )
+        deltas = [r["iou_delta"] for r in results]
+        import numpy as _np
+
+        print(
+            f"structured delta mean {float(_np.mean(deltas)):+.4f} "
+            f"min {float(_np.min(deltas)):+.4f} "
+            f"max {float(_np.max(deltas)):+.4f}",
+            file=sys.stderr,
+        )
         _emit(results, args.out)
         return
 

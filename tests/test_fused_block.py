@@ -83,6 +83,26 @@ def test_fused_block_rows_matches_loop_impl(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
 
 
+def test_fused_block_skip_max_matches(rng):
+    """softmax_max=False is the same softmax without the shift — identical
+    in real arithmetic, float-tolerance in fp32 for bounded scores."""
+    cfg = _mini_cfg()
+    params = init_vit_params(cfg, jax.random.PRNGKey(7))
+    blk = params["blocks"][0]
+    x = jnp.asarray(
+        rng.standard_normal((2, _ROW_BLOCK + 9, cfg.embed_dim)).astype(np.float32)
+    )
+    want, _ = _block(x, blk, cfg, "highest", "xla")
+    for impl in ("loop", "rows"):
+        got = fused_block(
+            x, blk, cfg.num_heads, interpret=True, impl=impl,
+            softmax_max=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+
 def test_fused_block_head_dim_guard():
     """head_dim >= 128 would collide with the expanded-V indicator lanes;
     the wrapper must refuse instead of returning wrong numbers."""

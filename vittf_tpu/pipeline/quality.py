@@ -214,7 +214,7 @@ def structured_quality_experiment(
     names = ["background"] + [f"c{i}" for i in range(1, n_classes + 1)]
 
     tcfg = DenseContrastiveConfig(
-        iterations=train_iterations, samples_per_iteration=4,
+        iterations=train_iterations, samples_per_iteration=8,
         neg_count=min(1024, size**2),
     )
     trainer = DenseContrastiveTrainer(vol, labels, names, tcfg, seed=seed)
