@@ -192,12 +192,23 @@ def compute_similarities(
 
     # BLS path: the crop is data-dependent, so the refinement composes
     # jitted stages; the raw similarity still runs as one padded dispatch
-    from vittf_tpu.pipeline.refine import refine_similarity
-
     sims = _raw_similarities_device(
         in_dims, features, jnp.asarray(coords_p), jnp.asarray(m),
         threshold, exponent, mean_first, impl,
     )
+    if bls_shape_bucket:
+        # bucketed interactive mode: ALL classes refined + quantized in one
+        # vmapped dispatch chain (~3 round trips instead of ~6·C)
+        from vittf_tpu.pipeline.refine import refine_similarities_batched
+
+        sims_u8 = refine_similarities_batched(
+            sims, volume, sim_shape, shape_bucket=bls_shape_bucket
+        )
+        return {name: sims_u8[c] for c, name in enumerate(annotations.keys())}
+
+    # reference-parity mode: per-class tight crop boxes
+    from vittf_tpu.pipeline.refine import refine_similarity
+
     similarities = {}
     for c, name in enumerate(annotations.keys()):
         sim = refine_similarity(

@@ -5,13 +5,29 @@ Port of the reference's BLS branch in compute_similarities
 half-res similarity grid, quantized to uint8, the similarity map is cropped
 to its support (+2 pad at threshold 0.1), refined with the 3D bilateral
 solver (σ_spatial=7, σ_luma=σ_chroma=5), and written back.
+
+Two entry points:
+- ``refine_similarity``: one class, reference-parity crop box (the
+  per-class loop the reference runs, predict_ntf.py:92 loops classes).
+- ``refine_similarities_batched``: ALL classes in one dispatch chain —
+  one shared half-res reference build, one device round trip for every
+  class's crop box, and one vmapped crop→sobel→solve→write-back→quantize
+  dispatch over a common bucketed crop shape. On the TPU tunnel the
+  per-class loop costs ~6 round trips × C classes; this path costs ~3
+  total, which is what makes BLS-on interactive frames fit the <1 s
+  budget (measured in BENCH_r03).
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
+import functools
 
-from vittf_tpu.ops.bilateral import apply_bilateral_solver3d
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vittf_tpu.ops.bilateral import apply_bilateral_solver3d, bilateral_solve_gray
 from vittf_tpu.ops.crop import crop_pad, write_crop_into
+from vittf_tpu.ops.morphology import filter_sobel_separated
 from vittf_tpu.ops.resize import resize_linear
 from vittf_tpu.utils.tensor import make_5d, norm_minmax
 
@@ -84,3 +100,112 @@ def refine_similarity(
         bs_params=bs_params,
     )
     return write_crop_into(sim, csolved, mima)
+
+
+@functools.partial(jax.jit, static_argnames=("thresh",))
+def _boxes_device(sims: jnp.ndarray, thresh: float) -> jnp.ndarray:
+    """Per-class bounding boxes of ``sims > thresh`` in ONE dispatch.
+
+    sims (C, W, H, D) → (C, 2, 3) int32 [mi; ma) — empty classes get the
+    full volume (bounding_box parity)."""
+    C = sims.shape[0]
+    mask = sims > thresh
+    out = []
+    for d in range(3):
+        axes = tuple(a for a in (1, 2, 3) if a != d + 1)
+        line = jnp.any(mask, axis=axes)  # (C, S_d)
+        s = line.shape[1]
+        mi = jnp.argmax(line, axis=1)
+        ma = s - jnp.argmax(line[:, ::-1], axis=1)
+        empty = ~jnp.any(line, axis=1)
+        mi = jnp.where(empty, 0, mi)
+        ma = jnp.where(empty, s, ma)
+        out.append(jnp.stack([mi, ma], axis=1))  # (C, 2)
+    return jnp.stack(out, axis=2).astype(jnp.int32)  # (C, 2, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "crop_shape", "sigma_spatial", "sigma_luma", "lam", "cg_maxiter",
+    ),
+)
+def _refine_batched_device(
+    sims: jnp.ndarray,  # (C, *sim_shape) float32
+    vol_u8: jnp.ndarray,  # (*sim_shape) uint8 shared reference
+    starts: jnp.ndarray,  # (C, 3) int32 crop starts
+    crop_shape: tuple[int, int, int],
+    sigma_spatial: int,
+    sigma_luma: int,
+    lam: float,
+    cg_maxiter: int,
+) -> jnp.ndarray:
+    """vmapped crop → sobel confidence → bilateral solve → write-back →
+    uint8 quantize for all classes in one dispatch. Returns (C, …) uint8."""
+    from vittf_tpu.pipeline.ntf import quantize_uint8_torch
+
+    def one(sim, start):
+        csim = jax.lax.dynamic_slice(sim, start, crop_shape)
+        cvol = jax.lax.dynamic_slice(vol_u8, start, crop_shape)
+        sob = filter_sobel_separated(
+            make_5d(cvol.astype(jnp.float32) / 255.0)
+        ).reshape(crop_shape)
+        conf = sob.max() - sob
+        solved = bilateral_solve_gray(
+            csim, cvol.astype(jnp.float32), conf,
+            sigma_spatial=sigma_spatial, sigma_luma=sigma_luma, lam=lam,
+            cg_maxiter=cg_maxiter,
+        )
+        out = jax.lax.dynamic_update_slice(sim, solved, start)
+        quant = 0.99 * out.max()
+        return quantize_uint8_torch(255.0 / quant * out)
+
+    return jax.vmap(one)(sims, starts)
+
+
+def refine_similarities_batched(
+    sims: jnp.ndarray,
+    volume: jnp.ndarray,
+    sim_shape: tuple[int, int, int],
+    grid_params: dict | None = None,
+    bs_params: dict | None = None,
+    shape_bucket: int = 8,
+) -> jnp.ndarray:
+    """Refine + quantize ALL classes' similarity maps in ~3 round trips.
+
+    Crops use ONE common bucketed shape (the per-dimension max of the
+    classes' padded boxes, grown to ``shape_bucket`` multiples), so the
+    solver is a single vmapped dispatch and interactive frames reuse its
+    compiled graph while crop extents stay within the same buckets. Like
+    the bucketed single-class path, the solve covers a slightly larger
+    region than the reference's tight per-class box (not bit-parity;
+    typically closer to the uncropped solve).
+
+    Returns (C, *sim_shape) uint8 (already 255/(0.99·max)-quantized).
+    """
+    gp = {**BLS_GRID_PARAMS, **(grid_params or {})}
+    bs = bs_params or {}
+    vol = resize_linear(make_5d(jnp.asarray(volume)), sim_shape).reshape(sim_shape)
+    vol_u8 = jnp.trunc(255.0 * norm_minmax(vol)).astype(jnp.uint8)
+
+    sims = jnp.asarray(sims).astype(jnp.float32)
+    C = sims.shape[0]
+    if tuple(sims.shape[-3:]) != tuple(sim_shape):
+        sims = resize_linear(make_5d(sims), sim_shape).reshape((C,) + sim_shape)
+
+    boxes = np.asarray(_boxes_device(sims, 0.1))  # one fetch for all classes
+    mi = np.clip(boxes[:, 0] - 2, 0, None)  # pad=2, crop_pad parity
+    ma = np.minimum(boxes[:, 1] + 2, np.asarray(sim_shape))
+    # common bucketed crop shape: per-dim max extent over classes
+    ext = np.max(ma - mi, axis=0)
+    ext = np.minimum(-(-ext // shape_bucket) * shape_bucket, sim_shape)
+    # per-class starts, shifted back where the common box would overflow
+    starts = np.minimum(mi, np.asarray(sim_shape) - ext).astype(np.int32)
+
+    return _refine_batched_device(
+        sims, vol_u8, jnp.asarray(starts), tuple(int(e) for e in ext),
+        sigma_spatial=int(gp["sigma_spatial"]),
+        sigma_luma=int(gp["sigma_luma"]),
+        lam=float(bs.get("lam", 256.0)),
+        cg_maxiter=int(bs.get("cg_maxiter", 25)),
+    )
