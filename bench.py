@@ -193,29 +193,34 @@ def main():
 
         if size == max(sizes):
             # artifact-to-artifact path ONCE per invocation: host uint8
-            # array → H2D → fast extraction (compact-dtype path, the
-            # --preserve-dtype CT use case) → fp16 feature volume fetched
-            # and saved. This is the number a CLI user actually gets
+            # array → fast extraction → fp16 feature volume fetched and
+            # saved. This is the number a CLI user actually gets
             # (reference infer.py:212-237, 337-340); the compute-only
             # lines above deliberately exclude the artifact boundary.
+            # Single-device runs use the STREAMED path (the CLI's
+            # --streamed): fast mode only needs the picked planes, so H2D
+            # is 3·fos slices instead of the whole volume — on the tunnel
+            # transport (~20 MB/s) that is the difference between ~10 s
+            # and ~60 s at 1024³.
             import tempfile
 
-            from vittf_tpu.pipeline.features import extract_features
+            from vittf_tpu.pipeline.streamed import extract_features_streamed
 
             host_vol = rng.integers(0, 256, (size,) * 3, dtype=np.uint8)
 
             def artifact_run():
-                dev = jnp.asarray(host_vol)  # H2D transfer, timed
                 if mesh is not None:
                     from vittf_tpu.parallel.extract import (
                         extract_features_sharded,
                     )
 
                     fe = extract_features_sharded(
-                        dev, params, cfg, fast_cfg, mesh
+                        jnp.asarray(host_vol), params, cfg, fast_cfg, mesh
                     )["k"]
                 else:
-                    fe = extract_features(dev, params, cfg, fast_cfg)["k"]
+                    fe = extract_features_streamed(
+                        host_vol, params, cfg, fast_cfg
+                    )["k"]
                 # stored half like the reference CLI (infer.py:134, 337)
                 return np.asarray(fe.astype(jnp.float16))  # D2H transfer
 
