@@ -27,6 +27,26 @@ def test_update_and_predict(session, rng):
     assert pred.shape == (8, 8, 8) and pred.max() <= 2
 
 
+def test_prewarm_runs_and_leaves_state_clean(session, rng):
+    """prewarm compiles the serving graphs without polluting the session's
+    similarity state; a real update afterwards works normally."""
+    t = session.prewarm(n_classes=2, n_annotations=8)
+    assert t > 0
+    assert session.similarities == {}
+    sims = session.update_annotations({"a": rng.integers(0, 16, (8, 3))})
+    assert set(sims) == {"a"}
+
+
+def test_prewarm_with_bilateral_solver(rng):
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    feats = (rng.standard_normal((8, 8, 8, 8)) * 0.4).astype(np.float32)
+    s = InteractiveSession(
+        vol, feats, impl="xla", bilateral_solver=True, bls_shape_bucket=4
+    )
+    assert s.prewarm(n_classes=2, n_annotations=8) > 0
+    assert s.similarities == {}
+
+
 def test_export_contract(session, rng, tmp_path):
     session.update_annotations({"a": rng.integers(0, 16, (6, 3))})
     session.export(tmp_path)

@@ -22,6 +22,10 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--poll-interval", type=float, default=0.25)
     p.add_argument("--max-updates", type=int, default=None,
                    help="Exit after N updates (default: run forever)")
+    p.add_argument("--no-prewarm", action="store_true",
+                   help="Skip the startup graph warmup (first real user "
+                        "edit then pays the compile instead)")
+    p.add_argument("--prewarm-classes", type=int, default=5)
     return p
 
 
@@ -35,6 +39,10 @@ def main(argv=None) -> int:
     session = InteractiveSession.from_artifacts(
         args.data, bilateral_solver=args.bilateral_solver, impl=args.impl
     )
+    if not args.no_prewarm:
+        t = session.prewarm(n_classes=args.prewarm_classes)
+        print(f"Graphs warmed in {t:.1f}s (first user edit runs at "
+              "steady-state latency)")
     print(f"Serving {args.data}: features {tuple(session.features.shape)}; "
           "watching annotations.npy")
     watch_directory(

@@ -70,6 +70,36 @@ class InteractiveSession:
         )["k"]
         return cls(volume, np.asarray(feats), **kwargs)
 
+    def prewarm(
+        self, n_classes: int = 5, n_annotations: int = 64, seed: int = 0
+    ) -> float:
+        """Compile the serving graphs before the first real interaction.
+
+        Runs one synthetic annotation update through the configured path
+        (incl. the batched BLS refinement when enabled) so the first user
+        edit pays steady-state latency (tens to hundreds of ms) instead of
+        the first-compile stall (tens of seconds on a cold backend).
+        Annotation-count buckets and BLS crop-shape buckets mean the
+        compiled graphs are reused for real updates. Returns the warmup
+        seconds."""
+        rng = np.random.default_rng(seed)
+        shape = np.asarray(self.volume.shape[-3:])
+        ann = {
+            f"_warm{i}": rng.integers(0, shape, (n_annotations, 3)).astype(
+                np.int64
+            )
+            for i in range(n_classes)
+        }
+        t0 = time.perf_counter()
+        sims = compute_similarities(
+            self.volume, self.features, ann,
+            bilateral_solver=self.bilateral_solver, impl=self.impl,
+            bls_shape_bucket=self.bls_shape_bucket,
+        )
+        # fence without touching self.similarities (warmup is invisible)
+        int(np.asarray(next(iter(sims.values()))[0, 0, 0]))
+        return time.perf_counter() - t0
+
     def update_annotations(
         self, annotations: dict[str, np.ndarray]
     ) -> dict[str, jnp.ndarray]:
