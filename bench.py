@@ -146,6 +146,13 @@ def main():
     rng = np.random.default_rng(0)
     table = {}
 
+    interactive_size = int(os.environ.get("BENCH_INTERACTIVE_SIZE", "256"))
+    if interactive_size and interactive_size not in sizes:
+        log(
+            f"NOTE: interactive p50 section skipped — "
+            f"BENCH_INTERACTIVE_SIZE={interactive_size} not in sizes {sizes}"
+        )
+
     def fence_sims(sims):
         return int(np.asarray(next(iter(sims.values()))[0, 0, 0]))
 
@@ -251,7 +258,7 @@ def main():
         )
         table[size] = entry
 
-        if size == int(os.environ.get("BENCH_INTERACTIVE_SIZE", "256")):
+        if size == interactive_size:
             # interactive re-similarity p50 (features cached, annotations move)
             lat = []
             for _ in range(10):

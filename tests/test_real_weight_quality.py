@@ -111,13 +111,26 @@ def test_fetch_weights_local_file_and_hash(hub_ckpt, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="previously recorded"):
         fw.fetch_checkpoint("vits8", dest_dir)
 
-    # explicit pin mismatch is caught
+    # explicit pin mismatch is caught AND the file is quarantined so a
+    # later unpinned run cannot bless it
     dest.write_bytes(hub_ckpt.read_bytes())
     record.unlink()
     with pytest.raises(ValueError, match="expected"):
         fw.fetch_checkpoint("vits8", dest_dir, expect_sha256="0" * 64)
+    assert not dest.exists()
+    rejected = dest.with_suffix(".pth.rejected")
+    assert rejected.exists()
+    # pinned CLI failure exits 1 with the friendly message, no traceback
+    rejected.rename(dest)
+    assert (
+        fw.main(
+            ["vits8", "--out-dir", str(dest_dir), "--expect-sha256", "0" * 64]
+        )
+        == 1
+    )
 
     # full CLI path incl. npz conversion
+    dest.with_suffix(".pth.rejected").rename(dest)
     record.unlink(missing_ok=True)
     assert fw.main(["vits8", "--out-dir", str(dest_dir)]) == 0
     assert (dest_dir / "dino_deitsmall8_pretrain.npz").exists()

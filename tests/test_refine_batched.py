@@ -34,7 +34,9 @@ def test_boxes_device_matches_host_bounding_box(rng):
         rng, 3, (12, 14, 10),
         [((2, 3, 1), (7, 9, 6)), ((0, 0, 0), (4, 4, 4)), ((5, 5, 5), (12, 14, 10))],
     )
-    boxes = np.asarray(_boxes_device(sims, 0.1))
+    boxes, nonempty = _boxes_device(sims, 0.1)
+    boxes = np.asarray(boxes)
+    assert np.asarray(nonempty).all()
     for c in range(3):
         mi, ma = bounding_box(sims[c] > 0.1, pad=0)
         np.testing.assert_array_equal(boxes[c, 0], mi)
@@ -43,9 +45,43 @@ def test_boxes_device_matches_host_bounding_box(rng):
 
 def test_boxes_device_empty_class_full_volume(rng):
     sims = jnp.zeros((2, 8, 8, 8))
-    boxes = np.asarray(_boxes_device(sims, 0.1))
+    boxes, nonempty = _boxes_device(sims, 0.1)
+    boxes = np.asarray(boxes)
     np.testing.assert_array_equal(boxes[:, 0], 0)
     np.testing.assert_array_equal(boxes[:, 1], 8)
+    assert not np.asarray(nonempty).any()
+
+
+def test_batched_empty_class_does_not_couple_others(rng):
+    """An empty class (mid-annotation GUI state) must not inflate the
+    shared crop box: the non-empty class's refined map must match what it
+    gets refined alone (code-review r3 finding #1)."""
+    shape = (16, 16, 16)
+    vol = rng.random((32, 32, 32)).astype(np.float32)
+    blob = _blob_sims(rng, 1, shape, [((3, 4, 2), (11, 12, 9))])
+    both = jnp.concatenate([blob, jnp.zeros((1,) + shape, jnp.float32)])
+
+    solo = np.asarray(
+        refine_similarities_batched(blob, jnp.asarray(vol), shape, shape_bucket=4)
+    )[0]
+    mixed = refine_similarities_batched(
+        both, jnp.asarray(vol), shape, shape_bucket=4
+    )
+    got = np.asarray(mixed)[0]
+    np.testing.assert_array_equal(got, solo)
+    # the empty class comes back all-zero, not NaN-contaminated
+    assert np.asarray(mixed)[1].max() == 0
+
+
+def test_batched_all_empty_returns_zero_maps(rng):
+    shape = (12, 12, 12)
+    vol = rng.random((24, 24, 24)).astype(np.float32)
+    out = refine_similarities_batched(
+        jnp.zeros((3,) + shape, jnp.float32), jnp.asarray(vol), shape,
+        shape_bucket=4,
+    )
+    assert out.shape == (3,) + shape and out.dtype == jnp.uint8
+    assert np.asarray(out).max() == 0
 
 
 def test_batched_matches_single_class_bucketed(rng):

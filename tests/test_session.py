@@ -122,6 +122,40 @@ def test_bls_interactive_zero_recompiles_after_warmup(rng):
     assert _raw_similarities_device._cache_size() == sims_cache
 
 
+def test_class_bucket_stops_recompiles_on_class_add(rng):
+    """Adding/removing a class within a bucket must reuse compiled graphs
+    (the class axis is padded with zero mean-matrix columns — exact)."""
+    from vittf_tpu.pipeline.ntf import _similarities_device
+
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    feats = (rng.standard_normal((8, 8, 8, 8)) * 0.4).astype(np.float32)
+    session = InteractiveSession(vol, feats, impl="xla", class_bucket=4)
+
+    def ann(n_classes):
+        return {
+            f"c{i}": rng.integers(0, 16, (6, 3)) for i in range(n_classes)
+        }
+
+    ref = session.update_annotations(ann(1))
+    c0 = _similarities_device._cache_size()
+    for n in (2, 3, 4, 1):
+        out = session.update_annotations(ann(n))
+        assert len(out) == n
+    assert _similarities_device._cache_size() == c0, "class add recompiled"
+
+    # bucket padding is exact: same annotations, bucketed vs exact classes
+    import jax.numpy as jnp
+
+    from vittf_tpu.pipeline.ntf import compute_similarities
+
+    a = {"x": rng.integers(0, 16, (7, 3))}
+    want = compute_similarities(jnp.asarray(vol), jnp.asarray(feats), a, impl="xla")
+    got = compute_similarities(
+        jnp.asarray(vol), jnp.asarray(feats), a, impl="xla", class_bucket=4
+    )
+    np.testing.assert_array_equal(np.asarray(got["x"]), np.asarray(want["x"]))
+
+
 def test_bls_shape_bucket_stops_solver_recompiles(rng):
     """Crop boxes that differ per frame (growing similarity support) hit
     ONE solver graph with the default bucket, but one graph per shape with

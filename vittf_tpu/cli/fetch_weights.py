@@ -97,8 +97,13 @@ def fetch_checkpoint(
 
     digest = sha256_of(dest)
     if expect_sha256 and digest != expect_sha256:
+        # quarantine the failed file: leaving it in place would let a later
+        # UNPINNED run record its (bad) digest as the trusted .sha256
+        quarantine = dest.with_suffix(dest.suffix + ".rejected")
+        dest.rename(quarantine)
         raise ValueError(
-            f"{dest} sha256 {digest} != expected {expect_sha256}"
+            f"{dest} sha256 {digest} != expected {expect_sha256}; file "
+            f"moved to {quarantine} — a re-run will fetch fresh"
         )
     if record.exists():
         recorded = record.read_text().split()[0]
@@ -129,7 +134,7 @@ def main(argv=None) -> int:
         ckpt = fetch_checkpoint(
             args.arch, args.out_dir, args.expect_sha256, args.timeout
         )
-    except RuntimeError as e:
+    except (RuntimeError, ValueError) as e:
         print(f"FETCH FAILED: {e}", file=sys.stderr)
         return 1
     print(f"checkpoint OK: {ckpt}")

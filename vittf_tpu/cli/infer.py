@@ -119,7 +119,11 @@ def main(argv=None) -> int:
 
     cfg = resolve_model(args.dino_model, args.dino2_model)
     cache_path = handle_output_path(args, cfg.name)
-    vol = load_volume(args.data_path, preserve_dtype=args.preserve_dtype)
+    # --streamed exists for volumes past device/host comfort; casting an
+    # 8 GB uint8 volume to fp32 first would quadruple host RAM and H2D
+    # traffic, so streaming implies the (bit-identical) compact-dtype path
+    preserve = args.preserve_dtype or args.streamed
+    vol = load_volume(args.data_path, preserve_dtype=preserve)
     print(f"Loaded volume: {vol.shape} {vol.dtype}")
 
     params = load_params(args, cfg)

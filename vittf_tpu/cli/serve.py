@@ -25,7 +25,9 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--no-prewarm", action="store_true",
                    help="Skip the startup graph warmup (first real user "
                         "edit then pays the compile instead)")
-    p.add_argument("--prewarm-classes", type=int, default=5)
+    p.add_argument("--prewarm-classes", type=int, default=None,
+                   help="Classes to warm (default: one class bucket, so "
+                        "any count within the bucket hits warm graphs)")
     return p
 
 

@@ -26,9 +26,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from vittf_tpu.models.vit import ViTConfig
 from vittf_tpu.pipeline.features import (
-    _AXIS_RULES,
     ExtractConfig,
+    _build_fused_all_stacks,
     _fused_all_applicable,
+    _fused_all_outputs,
     _pool_to,
     _pooled_to_volume,
     _qkv_index,
@@ -64,26 +65,10 @@ def _extract_fused_sharded(vol, params, model_cfg, cfg, mesh, im_sz,
     ndata = mesh.shape["data"]
     dtype = jnp.dtype(cfg.compute_dtype)
     key_idx = tuple(_qkv_index(k) for k in cfg.return_keys)
-    stacks = []
-    geom = None
-    for ax in ("z", "y", "x"):
-        s_b, w_b, g = prepare_axis_batches(
-            vol, model_cfg, ax, im_sz, feat_out_sz, cfg.batch_size,
-            cfg.slice_subsample, True,
-        )
-        stacks.append((s_b, w_b))
-        assert geom is None or g[:3] == geom[:3], (
-            "fused sweep needs equal slice geometry"
-        )
-        geom = g
-    img_hw, f_hw, o_ax, _ = geom
-    nb = stacks[0][0].shape[0]
-
-    slices_all = jnp.concatenate([s for s, _ in stacks], axis=0)
-    w_all = jnp.zeros((3, nb, 3, o_ax, cfg.batch_size), jnp.float32)
-    for a, (_, w_b) in enumerate(stacks):
-        w_all = w_all.at[a, :, a].set(w_b)
-    w_all = w_all.reshape(3 * nb, 3, o_ax, cfg.batch_size)
+    slices_all, w_all, (img_hw, f_hw, o_ax) = _build_fused_all_stacks(
+        vol, model_cfg, im_sz, feat_out_sz, cfg.batch_size,
+        cfg.slice_subsample,
+    )
     slices_all, w_all = _pad_batches_to(slices_all, w_all, ndata)
 
     @partial(
@@ -107,15 +92,7 @@ def _extract_fused_sharded(vol, params, model_cfg, cfg, mesh, im_sz,
         if cfg.feature_source == "qkv"
         else model_cfg.embed_dim // 3
     )
-    out = {}
-    for name, pooled in zip(cfg.return_keys, acc):  # (3, o_ax, hw, D)
-        vols = [
-            _pooled_to_volume(pooled[a], f_hw, o_ax, _AXIS_RULES[ax][2], D)
-            for a, ax in enumerate(("z", "y", "x"))
-        ]
-        vols = [_pool_to(v, feat_out_sz) for v in vols]
-        out[name] = (vols[0] + vols[1]) + vols[2]  # z+y+x, parity order
-    return out
+    return _fused_all_outputs(acc, cfg.return_keys, f_hw, o_ax, feat_out_sz, D)
 
 
 def extract_features_sharded(

@@ -362,6 +362,26 @@ def _extract_all_axes_fused(
         vol_normed.min().astype(jnp.float32),
         vol_normed.max().astype(jnp.float32),
     )
+    slices_all, w_all, (img_hw, f_hw, o_ax) = _build_fused_all_stacks(
+        vol_normed, cfg, im_sz, feat_out_sz, batch_size, slice_subsample
+    )
+    acc = _scan_pooled_extraction(
+        params, slices_all, w_all, cfg, img_hw, f_hw, o_ax,
+        key_idx, precision, attn_impl, dtype, feature_source, block_impl,
+        mima,
+    )
+    D = cfg.embed_dim if feature_source == "qkv" else cfg.embed_dim // 3
+    return _fused_all_outputs(acc, return_keys, f_hw, o_ax, feat_out_sz, D)
+
+
+def _build_fused_all_stacks(
+    vol_normed, cfg, im_sz, feat_out_sz, batch_size, slice_subsample
+):
+    """Concatenated 3-axis slice stacks + per-axis pool-weight planes.
+
+    Shared by the single-device fused sweep and its sharded twin
+    (parallel/extract.py) so the weight layout and axis order cannot
+    diverge between them."""
     stacks = []
     geom = None
     for ax in ("z", "y", "x"):
@@ -384,15 +404,14 @@ def _extract_all_axes_fused(
     for a, (_, w_b) in enumerate(stacks):
         w_all = w_all.at[a, :, a].set(w_b)
     w_all = w_all.reshape(3 * nb, 3, o_ax, batch_size)
+    return slices_all, w_all, (img_hw, f_hw, o_ax)
 
-    acc = _scan_pooled_extraction(
-        params, slices_all, w_all, cfg, img_hw, f_hw, o_ax,
-        key_idx, precision, attn_impl, dtype, feature_source, block_impl,
-        mima,
-    )
-    D = cfg.embed_dim if feature_source == "qkv" else cfg.embed_dim // 3
+
+def _fused_all_outputs(acc, return_keys, f_hw, o_ax, feat_out_sz, D):
+    """(3, o_ax, hw, D) per-key accumulators → summed feature volumes
+    (z+y+x, parity order)."""
     out = {}
-    for name, pooled in zip(return_keys, acc):  # pooled: (3, o_ax, hw, D)
+    for name, pooled in zip(return_keys, acc):
         vols = [
             _pooled_to_volume(
                 pooled[a], f_hw, o_ax, _AXIS_RULES[ax][2], D
@@ -400,7 +419,7 @@ def _extract_all_axes_fused(
             for a, ax in enumerate(("z", "y", "x"))
         ]
         vols = [_pool_to(v, feat_out_sz) for v in vols]
-        out[name] = (vols[0] + vols[1]) + vols[2]  # z+y+x, parity order
+        out[name] = (vols[0] + vols[1]) + vols[2]
     return out
 
 

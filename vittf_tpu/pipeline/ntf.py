@@ -84,7 +84,11 @@ def _similarities_device(
     sims = sims_cn.reshape(C, *feat_dims)
 
     # per-class 0.99·max quantization + nearest resize (predict_ntf.py:95-100)
-    quant = 0.99 * sims.max(axis=(1, 2, 3), keepdims=True)
+    # (clamped so all-zero classes — zero-padded class-bucket columns or
+    # empty mid-annotation classes — quantize to 0 instead of NaN)
+    quant = jnp.maximum(
+        0.99 * sims.max(axis=(1, 2, 3), keepdims=True), jnp.float32(1e-30)
+    )
     sims_u8 = quantize_uint8_torch(255.0 / quant * sims)
     if feat_dims != sim_shape:
         sims_u8 = resize_nearest(sims_u8, sim_shape)
@@ -134,6 +138,7 @@ def compute_similarities(
     exponent: float = DEFAULT_EXPONENT,
     impl: str = "auto",
     bls_shape_bucket: int | None = None,
+    class_bucket: int | None = None,
 ) -> dict[str, jnp.ndarray] | None:
     """Per-class uint8 similarity volumes at half resolution.
 
@@ -150,6 +155,10 @@ def compute_similarities(
         volume:   (W, H, D) scalar volume.
         features: (F, W', H', D') feature volume.
         annotations: {class: (A_c, 3) absolute voxel coords}.
+        class_bucket: pad the class axis to a multiple of this (zero
+            mean-matrix columns — exact) so interactive sessions adding or
+            removing classes reuse the compiled graphs, the same way the
+            annotation axis is bucketed. None = exact class count.
     """
     if len(annotations) == 0:
         return None
@@ -181,7 +190,11 @@ def compute_similarities(
     apad = _bucket_annotations(abs_np.shape[0])
     coords_p = np.zeros((apad, 3), np.float32)
     coords_p[: abs_np.shape[0]] = abs_np
-    m = class_mean_matrix(list(counts), apad)
+    C = len(counts)
+    counts_p = list(counts)
+    if class_bucket:
+        counts_p += [0] * (-(-C // class_bucket) * class_bucket - C)
+    m = class_mean_matrix(counts_p, apad)
 
     if not bilateral_solver:
         sims_u8 = _similarities_device(

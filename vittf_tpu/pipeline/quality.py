@@ -218,6 +218,7 @@ def structured_quality_experiment(
         neg_count=min(1024, size**2),
     )
     trainer = DenseContrastiveTrainer(vol, labels, names, tcfg, seed=seed)
+    rec = {"loss": float("nan")}  # train_iterations=0 = untrained baseline
     for _ in range(train_iterations):
         rec = trainer.step()
     feats = trainer.dense_features()  # (F, Z, Y, X) full resolution

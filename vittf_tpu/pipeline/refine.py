@@ -103,11 +103,12 @@ def refine_similarity(
 
 
 @functools.partial(jax.jit, static_argnames=("thresh",))
-def _boxes_device(sims: jnp.ndarray, thresh: float) -> jnp.ndarray:
+def _boxes_device(sims: jnp.ndarray, thresh: float):
     """Per-class bounding boxes of ``sims > thresh`` in ONE dispatch.
 
-    sims (C, W, H, D) → (C, 2, 3) int32 [mi; ma) — empty classes get the
-    full volume (bounding_box parity)."""
+    sims (C, W, H, D) → ((C, 2, 3) int32 [mi; ma), (C,) uint8 non-empty
+    flags). Empty classes get the full volume (bounding_box parity) —
+    callers use the flag to exclude them from shared-extent decisions."""
     C = sims.shape[0]
     mask = sims > thresh
     out = []
@@ -121,7 +122,9 @@ def _boxes_device(sims: jnp.ndarray, thresh: float) -> jnp.ndarray:
         mi = jnp.where(empty, 0, mi)
         ma = jnp.where(empty, s, ma)
         out.append(jnp.stack([mi, ma], axis=1))  # (C, 2)
-    return jnp.stack(out, axis=2).astype(jnp.int32)  # (C, 2, 3)
+    boxes = jnp.stack(out, axis=2).astype(jnp.int32)  # (C, 2, 3)
+    nonempty = jnp.any(mask, axis=(1, 2, 3)).astype(jnp.uint8)
+    return boxes, nonempty
 
 
 @functools.partial(
@@ -157,7 +160,8 @@ def _refine_batched_device(
             cg_maxiter=cg_maxiter,
         )
         out = jax.lax.dynamic_update_slice(sim, solved, start)
-        quant = 0.99 * out.max()
+        # clamp keeps all-zero (empty) classes at 0 instead of NaN
+        quant = jnp.maximum(0.99 * out.max(), jnp.float32(1e-30))
         return quantize_uint8_torch(255.0 / quant * out)
 
     return jax.vmap(one)(sims, starts)
@@ -174,12 +178,15 @@ def refine_similarities_batched(
     """Refine + quantize ALL classes' similarity maps in ~3 round trips.
 
     Crops use ONE common bucketed shape (the per-dimension max of the
-    classes' padded boxes, grown to ``shape_bucket`` multiples), so the
-    solver is a single vmapped dispatch and interactive frames reuse its
-    compiled graph while crop extents stay within the same buckets. Like
-    the bucketed single-class path, the solve covers a slightly larger
-    region than the reference's tight per-class box (not bit-parity;
-    typically closer to the uncropped solve).
+    NON-EMPTY classes' padded boxes, grown to ``shape_bucket`` multiples),
+    so the solver is a single vmapped dispatch and interactive frames
+    reuse its compiled graph while crop extents stay within the same
+    buckets. Empty classes (the mid-annotation GUI state) are excluded
+    from the shared-extent decision — otherwise their full-volume
+    bounding box would inflate every other class's crop — and come back
+    as all-zero maps. Like the bucketed single-class path, the solve
+    covers a slightly larger region than the reference's tight per-class
+    box (not bit-parity; typically closer to the uncropped solve).
 
     Returns (C, *sim_shape) uint8 (already 255/(0.99·max)-quantized).
     """
@@ -193,14 +200,22 @@ def refine_similarities_batched(
     if tuple(sims.shape[-3:]) != tuple(sim_shape):
         sims = resize_linear(make_5d(sims), sim_shape).reshape((C,) + sim_shape)
 
-    boxes = np.asarray(_boxes_device(sims, 0.1))  # one fetch for all classes
+    # one dispatch + one fetch for all classes' boxes and non-empty flags
+    boxes, nonempty = jax.device_get(_boxes_device(sims, 0.1))
+    boxes, nonempty = np.asarray(boxes), np.asarray(nonempty) > 0
+    if not nonempty.any():
+        # nothing to refine: quantized zero maps (255/(0.99·0) clamped)
+        return jnp.zeros((C,) + tuple(sim_shape), jnp.uint8)
     mi = np.clip(boxes[:, 0] - 2, 0, None)  # pad=2, crop_pad parity
     ma = np.minimum(boxes[:, 1] + 2, np.asarray(sim_shape))
-    # common bucketed crop shape: per-dim max extent over classes
-    ext = np.max(ma - mi, axis=0)
+    # common bucketed crop shape: per-dim max extent over NON-EMPTY classes
+    ext = np.max((ma - mi)[nonempty], axis=0)
     ext = np.minimum(-(-ext // shape_bucket) * shape_bucket, sim_shape)
-    # per-class starts, shifted back where the common box would overflow
-    starts = np.minimum(mi, np.asarray(sim_shape) - ext).astype(np.int32)
+    # per-class starts, shifted back where the common box would overflow;
+    # empty classes solve a corner crop of zeros (writes zeros back)
+    starts = np.minimum(mi, np.asarray(sim_shape) - ext)
+    starts[~nonempty] = 0
+    starts = starts.astype(np.int32)
 
     return _refine_batched_device(
         sims, vol_u8, jnp.asarray(starts), tuple(int(e) for e in ext),

@@ -41,14 +41,17 @@ class InteractiveSession:
         bilateral_solver: bool = False,
         impl: str = "auto",
         bls_shape_bucket: int | None = 8,
+        class_bucket: int | None = 4,
     ):
         self.volume = jnp.asarray(np.asarray(volume, np.float32))
         self.features = jnp.asarray(np.asarray(features, np.float32))
         self.bilateral_solver = bilateral_solver
         self.impl = impl
-        # interactive frames bucket the BLS crop shape so solver graphs
-        # are reused across annotation changes
+        # interactive frames bucket the BLS crop shape AND the class count
+        # so graphs are reused across annotation edits and class
+        # add/remove (zero-padded mean-matrix columns — exact)
         self.bls_shape_bucket = bls_shape_bucket
+        self.class_bucket = class_bucket
         self.similarities: dict[str, jnp.ndarray] = {}
 
     @classmethod
@@ -71,7 +74,10 @@ class InteractiveSession:
         return cls(volume, np.asarray(feats), **kwargs)
 
     def prewarm(
-        self, n_classes: int = 5, n_annotations: int = 64, seed: int = 0
+        self,
+        n_classes: int | None = None,
+        n_annotations: int = 64,
+        seed: int = 0,
     ) -> float:
         """Compile the serving graphs before the first real interaction.
 
@@ -79,9 +85,12 @@ class InteractiveSession:
         (incl. the batched BLS refinement when enabled) so the first user
         edit pays steady-state latency (tens to hundreds of ms) instead of
         the first-compile stall (tens of seconds on a cold backend).
-        Annotation-count buckets and BLS crop-shape buckets mean the
-        compiled graphs are reused for real updates. Returns the warmup
-        seconds."""
+        Annotation-count, class-count and BLS crop-shape buckets mean the
+        compiled graphs are reused for real updates; ``n_classes``
+        defaults to one class bucket so any real count within the first
+        bucket hits warm graphs. Returns the warmup seconds."""
+        if n_classes is None:
+            n_classes = self.class_bucket or 5
         rng = np.random.default_rng(seed)
         shape = np.asarray(self.volume.shape[-3:])
         ann = {
@@ -95,6 +104,7 @@ class InteractiveSession:
             self.volume, self.features, ann,
             bilateral_solver=self.bilateral_solver, impl=self.impl,
             bls_shape_bucket=self.bls_shape_bucket,
+            class_bucket=self.class_bucket,
         )
         # fence without touching self.similarities (warmup is invisible)
         int(np.asarray(next(iter(sims.values()))[0, 0, 0]))
@@ -108,6 +118,7 @@ class InteractiveSession:
             self.volume, self.features, annotations,
             bilateral_solver=self.bilateral_solver, impl=self.impl,
             bls_shape_bucket=self.bls_shape_bucket,
+            class_bucket=self.class_bucket,
         )
         self.similarities = sims or {}
         return self.similarities
