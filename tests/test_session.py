@@ -78,6 +78,39 @@ def test_watch_directory_serves_updates(session, rng, tmp_path):
     assert (tmp_path / "predictions.npy").exists()
 
 
+def test_watch_directory_bls_class_changes(rng, tmp_path):
+    """Full interactive stack: BLS refinement on, class count changing
+    between updates (add a class, drop to one) — the watcher must answer
+    every frame and the batched refinement must tolerate the class churn."""
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    feats = (rng.standard_normal((8, 8, 8, 8)) * 0.4).astype(np.float32)
+    session = InteractiveSession(
+        vol, feats, impl="xla", bilateral_solver=True,
+        bls_shape_bucket=4, class_bucket=4,
+    )
+    frames = [
+        {"a": rng.integers(0, 16, (6, 3))},
+        {"a": rng.integers(0, 16, (7, 3)), "b": rng.integers(0, 16, (5, 3))},
+        {"b": rng.integers(0, 16, (4, 3))},
+    ]
+
+    def writer():
+        for f in frames:
+            time.sleep(0.4)
+            np.save(tmp_path / "annotations.npy", f)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    served = watch_directory(
+        tmp_path, session, poll_interval=0.05, max_updates=len(frames)
+    )
+    t.join()
+    assert served == len(frames)
+    sims = np.load(tmp_path / "similarities.npy", allow_pickle=True)[()]
+    assert set(sims) == set(frames[-1])
+    assert all(v.dtype == np.uint8 for v in sims.values())
+
+
 def test_from_artifacts(tmp_path, rng):
     np.save(tmp_path / "volume.npy", rng.random((12, 12, 12)).astype(np.float32))
     np.save(
