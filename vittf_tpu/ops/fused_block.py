@@ -61,14 +61,33 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROW_BLOCK = 256
+# Row-block size: Np pads to a multiple of it, so it sets BOTH the VMEM
+# score-tile height and the padded token count (4097 → 4224 at 384 vs
+# 4352 at 256 — 3% less padding, ~6% less score work). Measured on the
+# 12-block ViT-S stack: 384 → 81.8 ms vs 256 → 83.4 ms (79.7 ms with
+# softmax_max=False — under the round-1 80 ms target); 128 and 512 are
+# slower / trip a FailedPrecondition (oversized fp32 score tile) at
+# Np≈4k. The per-call choice keeps 384 while the (rb, npad) fp32 tile
+# stays within budget and falls back to 256 for longer sequences;
+# VITTF_FUSED_ROW_BLOCK pins it for experiments.
+_ROW_BLOCK_ENV = os.environ.get("VITTF_FUSED_ROW_BLOCK")
+_ROW_BLOCK = int(_ROW_BLOCK_ENV) if _ROW_BLOCK_ENV else 256  # legacy alias
 _LOG2E = math.log2(math.e)
+
+
+def _pick_row_block(n_tokens: int) -> int:
+    if _ROW_BLOCK_ENV:
+        return int(_ROW_BLOCK_ENV)
+    npad384 = -(-n_tokens // 384) * 384
+    # ~8 MB fp32 score-tile budget (the 512-row failure was ~9 MB)
+    return 384 if 384 * npad384 * 4 <= 8 * 2**20 else 256
 
 
 def _ln(x, scale, bias, eps=1e-6):
@@ -92,6 +111,7 @@ def _fused_block_kernel(
     out_ref,  # (1, Np, D)
     y_scr, k_scr, v_scr,  # VMEM (Np, D), (Np, D), (Np, H·128)
     *, num_heads: int, n_rows: int, n_pad: int, skip_max: bool = False,
+    row_block: int = 256,
 ):
     D = x_ref.shape[-1]
     hd = D // num_heads
@@ -125,7 +145,7 @@ def _fused_block_kernel(
         )
 
     def row_body(i, _):
-        rows = pl.ds(i * _ROW_BLOCK, _ROW_BLOCK)
+        rows = pl.ds(i * row_block, row_block)
         _row_block_body(
             x_ref, wq_ref, wproj_ref, bproj_ref, wfc1_ref, bfc1_ref,
             wfc2_ref, bfc2_ref, bq_ref, ln2_ref, ls_ref, y_scr, k_scr,
@@ -203,6 +223,7 @@ def _fused_block_kernel_rows(
     out_ref,  # (1, ROW_BLOCK, D) at (b, i, 0)
     y_scr, k_scr, v_scr,  # persistent VMEM, filled at i == 0
     *, num_heads: int, n_pad: int, skip_max: bool = False,
+    row_block: int = 256,
 ):
     """Row-block-per-program variant: grid=(B, n_rows).
 
@@ -238,7 +259,7 @@ def _fused_block_kernel_rows(
                 (n_pad, v_scr.shape[-1]), v_scr.dtype
             )
 
-    rows = pl.ds(i * _ROW_BLOCK, _ROW_BLOCK)
+    rows = pl.ds(i * row_block, row_block)
     _row_block_body(
         x_ref, wq_ref, wproj_ref, bproj_ref, wfc1_ref, bfc1_ref, wfc2_ref,
         bfc2_ref, bq_ref, ln2_ref, ls_ref, y_scr, k_scr, v_scr,
@@ -274,7 +295,8 @@ def fused_block(
             f"(got {hd}); use block_impl='xla' for this geometry"
         )
     Hd = blk["fc1"]["kernel"].shape[1]
-    npad = -(-N // _ROW_BLOCK) * _ROW_BLOCK
+    rb = _pick_row_block(N)
+    npad = -(-N // rb) * rb
     nv = N if n_valid is None else n_valid
     xp = jnp.pad(x, ((0, 0), (0, npad - N), (0, 0)))
 
@@ -342,9 +364,10 @@ def fused_block(
                 num_heads=num_heads,
                 n_pad=npad - nv,
                 skip_max=not softmax_max,
+                row_block=rb,
             ),
             out_shape=jax.ShapeDtypeStruct((B, npad, D), dt),
-            grid=(B, npad // _ROW_BLOCK),
+            grid=(B, npad // rb),
             in_specs=[
                 pl.BlockSpec(
                     (1, npad, D), lambda b, i: (b, 0, 0),
@@ -352,7 +375,7 @@ def fused_block(
                 ),
             ] + [full() for _ in range(15)],
             out_specs=pl.BlockSpec(
-                (1, _ROW_BLOCK, D), lambda b, i: (b, i, 0),
+                (1, rb, D), lambda b, i: (b, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=scratch,
@@ -365,9 +388,10 @@ def fused_block(
         functools.partial(
             _fused_block_kernel,
             num_heads=num_heads,
-            n_rows=npad // _ROW_BLOCK,
+            n_rows=npad // rb,
             n_pad=npad - nv,
             skip_max=not softmax_max,
+            row_block=rb,
         ),
         out_shape=jax.ShapeDtypeStruct((B, npad, D), dt),
         grid=(B,),
