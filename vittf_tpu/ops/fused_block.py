@@ -40,22 +40,27 @@ The row-wise max subtraction is kept (numerical safety); since padded
 columns contribute score 0, m ≥ 0 always.
 
 Measured (ViT-S/8 geometry, (16, 4097, 384) bf16, 12 blocks, v5e):
-83 ms vs 171 ms for the unfused XLA+Pallas-attention path (was 92 ms
-before the softmax restructure — see scripts/bench_block.py; ROW_BLOCK
-128 measured slower, 87 ms). The remaining gap to roofline is (a) the
+81.7 ms vs 157.5 ms for the unfused XLA+Pallas-attention path (92 →
+83.4 ms after the round-2 softmax restructure, → 81.7 with the
+geometry-aware 384-row blocks; 79.7 ms with softmax_max=False — see
+scripts/bench_block.py). The remaining gap to roofline is (a) the
 hd=64 QK^T contraction, which runs at half MXU depth — head-packing
 cannot recover it: any packing scheme needs the same MXU cycles, the
 zero blocks of a block-diagonal operand occupy the array exactly as long
 as the half-depth bubbles do — and (b) exposed VPU time of the max/exp2
-chain (~25 ms over the ~57 ms MXU floor, only partially overlapped).
+chain (~20 ms over the ~57 ms MXU floor, only partially overlapped;
+grid-level row-block pipelining measured neutral at RB=256 and harmful
+at RB=384 — the VPU chain is data-dependent on its own row block).
 
 Numerics: bf16 matmuls with fp32 LN statistics and fp32 softmax — the
 same contract as the speed-mode XLA path. Deviation from an fp32 oracle
 matches the XLA bf16 path's own (~1.9% max rel over 12 blocks, both) —
 accumulation-order noise. Parity mode ('highest') keeps XLA.
 
-ROW_BLOCK stays at 256: 512-row fp32 score tiles trip a TPU runtime
-FailedPrecondition at Np≈4k (oversized VMEM working set).
+The row-block size is chosen per geometry (see ``_pick_row_block``):
+384 while the fp32 score tile fits the budget, else 256; 512-row tiles
+trip a TPU runtime FailedPrecondition at Np≈4k (oversized VMEM working
+set).
 """
 from __future__ import annotations
 
