@@ -103,6 +103,17 @@ def test_fused_block_skip_max_matches(rng):
         )
 
 
+def test_pick_row_block_geometry_rule():
+    """384 while the fp32 score tile fits the ~8 MB budget, else 256."""
+    from vittf_tpu.ops.fused_block import _pick_row_block
+
+    assert _pick_row_block(4097) == 384  # extraction geometry: 4224 pad
+    assert _pick_row_block(64) == 384  # tiny inputs: single 384 block
+    # 384 · npad(N) · 4 > 8 MB for N ≳ 5.4k → long sequences fall back
+    assert _pick_row_block(16385) == 256
+    assert _pick_row_block(8193) == 256
+
+
 def test_fused_block_head_dim_guard():
     """head_dim >= 128 would collide with the expanded-V indicator lanes;
     the wrapper must refuse instead of returning wrong numbers."""
