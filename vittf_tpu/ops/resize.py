@@ -17,6 +17,7 @@ Weight matrices are built with numpy at trace time (shapes are static under
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -110,8 +111,21 @@ def resize_nearest(x: jnp.ndarray, size: tuple[int, ...]) -> jnp.ndarray:
     """Nearest resize of the trailing ``len(size)`` axes, torch parity."""
     for axis, out_size in zip(_spatial_axes(x.ndim, len(size)), size):
         in_size = x.shape[axis]
-        if in_size != out_size:
-            x = jnp.take(x, jnp.asarray(_nearest_indices(in_size, out_size)), axis=axis)
+        if in_size == out_size:
+            continue
+        if in_size % out_size == 0:
+            # integer downsample ratio r: floor(i·r) = i·r exactly, so the
+            # torch 'nearest' pick IS a strided slice — identical elements,
+            # but a slice HLO instead of a gather (the hot fast-mode case:
+            # 1024² slices → 512² at 1024³/fos64)
+            r = in_size // out_size
+            x = jax.lax.slice_in_dim(
+                x, 0, (out_size - 1) * r + 1, stride=r, axis=axis
+            )
+        else:
+            x = jnp.take(
+                x, jnp.asarray(_nearest_indices(in_size, out_size)), axis=axis
+            )
     return x
 
 
