@@ -38,9 +38,18 @@ def main():
 
     cfg = DINO_ARCHS["vits8"]
     params = init_vit_params(cfg, jax.random.PRNGKey(0))
-    vol = jnp.asarray(
-        np.random.default_rng(0).random((args.size,) * 3).astype(np.float32)
-    )
+    if args.size > 256:
+        # device-side generation: a host random volume is a multi-GB H2D
+        # transfer at 512³+ (same rationale as bench.py)
+        vol = jax.jit(
+            lambda: jax.random.uniform(
+                jax.random.PRNGKey(0), (args.size,) * 3, jnp.float32
+            )
+        )()
+    else:
+        vol = jnp.asarray(
+            np.random.default_rng(0).random((args.size,) * 3).astype(np.float32)
+        )
 
     for mode, sub in [("full", False), ("fast", True)]:
         ex_cfg = ExtractConfig(
