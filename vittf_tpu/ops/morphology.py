@@ -18,27 +18,31 @@ from vittf_tpu.utils.tensor import make_5d
 
 
 def _conv1d_axis(x5, win, axis):
-    """Depthwise 1D conv along a spatial axis of (N, C, D, H, W), SAME pad.
+    """Depthwise 1D filter along a spatial axis of (N, C, D, H, W), SAME
+    zero pad — the reference's padded F.conv3d with a small separable
+    kernel (bilateral_solver3d.py:169-181).
 
-    Matches the reference's padded F.conv3d with a 3-tap kernel
-    (bilateral_solver3d.py:169-181).
+    Implemented as padded shifted adds, NOT lax.conv: XLA's TPU conv
+    lowering pads the (N, C=1) dims into a 128-lane tile — a measured
+    128× memory expansion (1 GB temp per 128³ volume, 8 GB for a batch of
+    8 → OOM in the batched BLS refinement). k-1 shifted multiply-adds are
+    exact (same cross-correlation sum, fp32) and layout-neutral.
     """
     k = len(win)
-    shape = [1, 1, 1, 1, 1]
-    shape[axis] = k
-    kern = jnp.asarray(win, dtype=x5.dtype).reshape(shape)
-    C = x5.shape[1]
-    kern = jnp.broadcast_to(kern, (C, 1) + tuple(shape[2:]))
-    pad = [(0, 0)] * 3
-    pad[axis - 2] = (k // 2, k // 2)
-    return jax.lax.conv_general_dilated(
-        x5, kern,
-        window_strides=(1, 1, 1),
-        padding=pad,
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        feature_group_count=C,
-        precision="highest",
-    )
+    r = k // 2
+    pad_cfg = [(0, 0)] * 5
+    pad_cfg[axis] = (r, r)
+    xp = jnp.pad(x5, pad_cfg)
+    S = x5.shape[axis]
+    out = None
+    for i, w in enumerate(win):
+        if w == 0:
+            continue
+        sl = [slice(None)] * 5
+        sl[axis] = slice(i, i + S)
+        term = xp[tuple(sl)] * jnp.asarray(w, x5.dtype)
+        out = term if out is None else out + term
+    return out
 
 
 def filter_sobel_separated(x: jnp.ndarray) -> jnp.ndarray:

@@ -139,6 +139,7 @@ def compute_similarities(
     impl: str = "auto",
     bls_shape_bucket: int | None = None,
     class_bucket: int | None = None,
+    bls_ref_u8: jnp.ndarray | None = None,
 ) -> dict[str, jnp.ndarray] | None:
     """Per-class uint8 similarity volumes at half resolution.
 
@@ -215,7 +216,8 @@ def compute_similarities(
         from vittf_tpu.pipeline.refine import refine_similarities_batched
 
         sims_u8 = refine_similarities_batched(
-            sims, volume, sim_shape, shape_bucket=bls_shape_bucket
+            sims, volume, sim_shape, shape_bucket=bls_shape_bucket,
+            ref_u8=bls_ref_u8,
         )
         return {name: sims_u8[c] for c, name in enumerate(annotations.keys())}
 

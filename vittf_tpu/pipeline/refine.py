@@ -144,18 +144,29 @@ def _refine_batched_device(
     cg_maxiter: int,
 ) -> jnp.ndarray:
     """vmapped crop → sobel confidence → bilateral solve → write-back →
-    uint8 quantize for all classes in one dispatch. Returns (C, …) uint8."""
+    uint8 quantize for all classes in one dispatch. Returns (C, …) uint8.
+
+    The sobel confidence runs OUTSIDE the vmap as one batched (C, 1, …)
+    conv: a vmapped 5-D conv gets a catastrophic padded layout on TPU
+    (the class axis lands in the tiled dims — measured 128× padding
+    expansion, an 8 GB temp for 8 classes at a 128³ crop → OOM)."""
     from vittf_tpu.pipeline.ntf import quantize_uint8_torch
 
-    def one(sim, start):
-        csim = jax.lax.dynamic_slice(sim, start, crop_shape)
-        cvol = jax.lax.dynamic_slice(vol_u8, start, crop_shape)
-        sob = filter_sobel_separated(
-            make_5d(cvol.astype(jnp.float32) / 255.0)
-        ).reshape(crop_shape)
-        conf = sob.max() - sob
+    csim = jax.vmap(
+        lambda sim, st: jax.lax.dynamic_slice(sim, st, crop_shape)
+    )(sims, starts)
+    cvol = jax.vmap(
+        lambda st: jax.lax.dynamic_slice(vol_u8, st, crop_shape)
+    )(starts)
+    C = sims.shape[0]
+    sob = filter_sobel_separated(
+        cvol[:, None].astype(jnp.float32) / 255.0  # (C, 1, d, h, w)
+    ).reshape((C,) + crop_shape)
+    conf = sob.max(axis=(1, 2, 3), keepdims=True) - sob
+
+    def one(sim, cs, cv, cf, start):
         solved = bilateral_solve_gray(
-            csim, cvol.astype(jnp.float32), conf,
+            cs, cv.astype(jnp.float32), cf,
             sigma_spatial=sigma_spatial, sigma_luma=sigma_luma, lam=lam,
             cg_maxiter=cg_maxiter,
         )
@@ -164,7 +175,17 @@ def _refine_batched_device(
         quant = jnp.maximum(0.99 * out.max(), jnp.float32(1e-30))
         return quantize_uint8_torch(255.0 / quant * out)
 
-    return jax.vmap(one)(sims, starts)
+    return jax.vmap(one)(sims, csim, cvol, conf, starts)
+
+
+def make_bls_reference(
+    volume: jnp.ndarray, sim_shape: tuple[int, int, int]
+) -> jnp.ndarray:
+    """Half-res uint8 reference for the bilateral solve (predict_ntf.py:80-87
+    downsample + quantize). Frame-invariant — interactive sessions compute
+    it once and pass it to ``refine_similarities_batched``."""
+    vol = resize_linear(make_5d(jnp.asarray(volume)), sim_shape).reshape(sim_shape)
+    return jnp.trunc(255.0 * norm_minmax(vol)).astype(jnp.uint8)
 
 
 def refine_similarities_batched(
@@ -174,6 +195,7 @@ def refine_similarities_batched(
     grid_params: dict | None = None,
     bs_params: dict | None = None,
     shape_bucket: int = 8,
+    ref_u8: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Refine + quantize ALL classes' similarity maps in ~3 round trips.
 
@@ -192,8 +214,9 @@ def refine_similarities_batched(
     """
     gp = {**BLS_GRID_PARAMS, **(grid_params or {})}
     bs = bs_params or {}
-    vol = resize_linear(make_5d(jnp.asarray(volume)), sim_shape).reshape(sim_shape)
-    vol_u8 = jnp.trunc(255.0 * norm_minmax(vol)).astype(jnp.uint8)
+    vol_u8 = (
+        ref_u8 if ref_u8 is not None else make_bls_reference(volume, sim_shape)
+    )
 
     sims = jnp.asarray(sims).astype(jnp.float32)
     C = sims.shape[0]

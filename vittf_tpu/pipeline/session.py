@@ -53,6 +53,13 @@ class InteractiveSession:
         self.bls_shape_bucket = bls_shape_bucket
         self.class_bucket = class_bucket
         self.similarities: dict[str, jnp.ndarray] = {}
+        # the half-res BLS reference is frame-invariant: build it once
+        self._bls_ref_u8 = None
+        if bilateral_solver:
+            from vittf_tpu.pipeline.refine import make_bls_reference
+
+            sim_shape = tuple(d // 2 for d in self.volume.shape[-3:])
+            self._bls_ref_u8 = make_bls_reference(self.volume, sim_shape)
 
     @classmethod
     def from_artifacts(cls, data_dir: str | Path, **kwargs) -> "InteractiveSession":
@@ -105,6 +112,7 @@ class InteractiveSession:
             bilateral_solver=self.bilateral_solver, impl=self.impl,
             bls_shape_bucket=self.bls_shape_bucket,
             class_bucket=self.class_bucket,
+            bls_ref_u8=self._bls_ref_u8,
         )
         # fence without touching self.similarities (warmup is invisible)
         int(np.asarray(next(iter(sims.values()))[0, 0, 0]))
@@ -119,6 +127,7 @@ class InteractiveSession:
             bilateral_solver=self.bilateral_solver, impl=self.impl,
             bls_shape_bucket=self.bls_shape_bucket,
             class_bucket=self.class_bucket,
+            bls_ref_u8=self._bls_ref_u8,
         )
         self.similarities = sims or {}
         return self.similarities
