@@ -108,6 +108,24 @@ def test_predict_ntf_cli_with_bilateral_solver(data_dir):
     assert "mIoU" in metrics
 
 
+def test_predict_ntf_cli_largest_island(data_dir):
+    """--largest-island applies the cc post-filter to every class's
+    similarity map before fusion (reference cc_torch filter,
+    tests/test_connected_components.py:26-61): each surviving class mask
+    in the fused prediction must be one connected component."""
+    rc = cli_predict_ntf.main(
+        ["--data", str(data_dir), "--num-samples", "32",
+         "--sampling-mode", "uniform", "--impl", "xla", "--largest-island"]
+    )
+    assert rc == 0
+    preds = [p for p in data_dir.glob("ntf_pred*isl.npy")]
+    assert preds, list(data_dir.iterdir())
+    metrics = json.loads(
+        next(data_dir.glob("ntf_metrics*isl.json")).read_text()
+    )
+    assert "mIoU" in metrics
+
+
 def test_predict_svm_rf_cli(data_dir):
     rc = cli_svm_rf.main(
         ["--data", str(data_dir), "--num-samples", "24",

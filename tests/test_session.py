@@ -37,6 +37,22 @@ def test_prewarm_runs_and_leaves_state_clean(session, rng):
     assert set(sims) == {"a"}
 
 
+def test_largest_island_session_flag(rng):
+    """largest_island=True post-filters every served similarity map to
+    one connected island above the threshold (cc_torch filter parity,
+    reference tests/test_connected_components.py:26-61)."""
+    from scipy import ndimage
+
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    feats = (rng.standard_normal((8, 8, 8, 8)) * 0.4).astype(np.float32)
+    s = InteractiveSession(vol, feats, impl="xla", largest_island=True)
+    sims = s.update_annotations({"a": rng.integers(0, 16, (9, 3))})
+    m = np.asarray(sims["a"]) > s.island_threshold
+    if m.any():
+        _, n = ndimage.label(m)
+        assert n == 1
+
+
 def test_prewarm_with_bilateral_solver(rng):
     vol = rng.random((16, 16, 16)).astype(np.float32)
     feats = (rng.standard_normal((8, 8, 8, 8)) * 0.4).astype(np.float32)

@@ -31,6 +31,14 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--impl", type=str, default="auto",
                    choices=["auto", "pallas", "xla"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--largest-island", action="store_true",
+        help="keep only each class's largest connected similarity island "
+             "before fusion (reference cc_torch post-filter, "
+             "tests/test_connected_components.py:26-61)",
+    )
+    p.add_argument("--island-threshold", type=int, default=69,
+                   help="uint8 threshold defining islands (default 69)")
     return p
 
 
@@ -54,7 +62,8 @@ def main(argv=None) -> int:
     if args.num_samples == 0.0:
         args.sampling_mode = "annotated"
     bls_str = "bls" if args.bilateral_solver else ""
-    suffix = f"{args.num_samples}{args.sampling_mode}{bls_str}"
+    isl_str = "isl" if args.largest_island else ""
+    suffix = f"{args.num_samples}{args.sampling_mode}{bls_str}{isl_str}"
     out_pred = d / f"ntf_pred{suffix}.npy"
     if out_pred.exists():
         print(f"Already inferred NTF preds for {d} ({suffix})")
@@ -104,6 +113,13 @@ def main(argv=None) -> int:
             )
         t2 = time.time()
 
+    if args.largest_island:
+        from vittf_tpu.ops.connected import filter_similarity_largest_island
+
+        similarities = {
+            k: filter_similarity_largest_island(v, args.island_threshold)
+            for k, v in similarities.items()
+        }
     pred = fuse_predictions(similarities, CT_ORG_THRESHOLDS)
     pred_np = np.asarray(pred).astype(np.uint8)
     np.save(out_pred, pred_np)

@@ -42,6 +42,8 @@ class InteractiveSession:
         impl: str = "auto",
         bls_shape_bucket: int | None = 8,
         class_bucket: int | None = 4,
+        largest_island: bool = False,
+        island_threshold: int = 69,
     ):
         self.volume = jnp.asarray(np.asarray(volume, np.float32))
         self.features = jnp.asarray(np.asarray(features, np.float32))
@@ -52,6 +54,10 @@ class InteractiveSession:
         # add/remove (zero-padded mean-matrix columns — exact)
         self.bls_shape_bucket = bls_shape_bucket
         self.class_bucket = class_bucket
+        # optional largest-island post-filter (reference cc_torch filter,
+        # tests/test_connected_components.py:26-61)
+        self.largest_island = largest_island
+        self.island_threshold = island_threshold
         self.similarities: dict[str, jnp.ndarray] = {}
         # the half-res BLS reference is frame-invariant: build it once
         self._bls_ref_u8 = None
@@ -129,6 +135,15 @@ class InteractiveSession:
             class_bucket=self.class_bucket,
             bls_ref_u8=self._bls_ref_u8,
         )
+        if sims and self.largest_island:
+            from vittf_tpu.ops.connected import (
+                filter_similarity_largest_island,
+            )
+
+            sims = {
+                k: filter_similarity_largest_island(v, self.island_threshold)
+                for k, v in sims.items()
+            }
         self.similarities = sims or {}
         return self.similarities
 
