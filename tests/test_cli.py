@@ -283,3 +283,30 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     save_checkpoint(tmp_path / "ckpt", state, step=7)
     restored = restore_checkpoint(tmp_path / "ckpt", state)
     np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(state["w"]))
+
+
+def test_infer_uint8_feature_artifact(data_dir, tmp_path):
+    """--feature-dtype uint8 writes the compact quantized artifact;
+    load_features dequantizes it and the NTF predictor runs off it."""
+    from vittf_tpu.core.io import load_features
+
+    out = tmp_path / "feats_u8.npy"
+    rc = cli_infer.main(
+        [
+            "--data-path", str(data_dir / "volume.npy"),
+            "--cache-path", str(out),
+            "--feature-output-size", "8",
+            "--batch-size", "4",
+            "--precision", "highest",
+            "--feature-dtype", "uint8",
+        ]
+    )
+    assert rc == 0
+    payload = np.load(out, allow_pickle=True)[()]
+    assert payload["k"].dtype == np.uint8 and "__quant__" in payload
+    feats = load_features(out)
+    assert feats.dtype == np.float32 and feats.shape == (384, 8, 8, 8)
+    # ~half the fp16 artifact (one fp16 artifact already exists from the
+    # fixture's infer run)
+    fp16 = next(p for p in data_dir.iterdir() if "features" in p.name)
+    assert out.stat().st_size < 0.6 * fp16.stat().st_size

@@ -108,3 +108,70 @@ def test_load_volume_preserve_dtype(tmp_path):
     # float64 always becomes fp32, preserve or not
     np.save(p, vol_u8.astype(np.float64))
     assert load_volume(p, preserve_dtype=True).dtype == np.float32
+
+
+def test_uint8_feature_artifact_roundtrip(tmp_path, rng):
+    """dtype='uint8' stores per-channel codes + scale/offset; load_features
+    dequantizes transparently, per-value error <= scale/2 per channel.
+    Works for both .npy and .pt payloads; artifact is ~2x smaller than
+    fp16 (reference stores half, infer.py:134, 337-340)."""
+    feats = (rng.standard_normal((16, 6, 6, 6)) * 3.0).astype(np.float32)
+    for suffix in (".npy", ".pt"):
+        p = tmp_path / f"feats{suffix}"
+        save_features(p, {"k": feats}, dtype="uint8")
+        out = load_features(p)
+        assert out.dtype == np.float32 and out.shape == feats.shape
+        span = np.ptp(feats.reshape(16, -1), axis=1)
+        tol = (span / 255.0 / 2.0 + 1e-6).reshape(-1, 1, 1, 1)
+        assert np.all(np.abs(out - feats) <= tol)
+    fp16 = tmp_path / "f16.npy"
+    save_features(fp16, {"k": feats})
+    u8 = tmp_path / "u8.npy"
+    save_features(u8, {"k": feats}, dtype="uint8")
+    assert u8.stat().st_size < 0.6 * fp16.stat().st_size
+
+
+def test_uint8_feature_artifact_similarity_deviation(tmp_path, rng):
+    """The compact artifact must not perturb the similarity maps it feeds:
+    uint8-roundtripped features yield per-class uint8 similarity maps
+    within a small deviation of the fp16-roundtripped ones."""
+    import jax.numpy as jnp
+
+    from vittf_tpu.pipeline.ntf import compute_similarities
+
+    feats = rng.standard_normal((32, 8, 8, 8)).astype(np.float32)
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    ann = {
+        "a": rng.integers(0, 16, (24, 3)),
+        "b": rng.integers(0, 16, (16, 3)),
+    }
+    maps = {}
+    for name, dtype in (("fp16", np.float16), ("u8", "uint8")):
+        p = tmp_path / f"{name}.npy"
+        save_features(p, {"k": feats}, dtype=dtype)
+        loaded = jnp.asarray(load_features(p))
+        sims = compute_similarities(vol, loaded, ann, impl="xla")
+        maps[name] = {k: np.asarray(v).astype(np.int32) for k, v in sims.items()}
+    for k in maps["fp16"]:
+        diff = np.abs(maps["fp16"][k] - maps["u8"][k])
+        # circular mod-256 distance: the top-1% wraparound (reference
+        # torch-cast parity, quantize_uint8_torch) flips 255<->0 under
+        # tiny perturbations, which is a 1-step circular move
+        diff = np.minimum(diff, 256 - diff)
+        assert diff.mean() < 1.0, diff.mean()
+        assert diff.max() <= 16, diff.max()
+
+
+def test_uint8_quantize_device_matches_host(rng):
+    """quantize_features_u8 on a jax array (device path, quantizes before
+    the D2H fetch) must match the host-numpy path bit-exactly."""
+    import jax.numpy as jnp
+
+    from vittf_tpu.core.io import quantize_features_u8
+
+    feats = (rng.standard_normal((8, 5, 5, 5)) * 2.0).astype(np.float32)
+    qh, sh, oh = quantize_features_u8(feats)
+    qd, sd, od = quantize_features_u8(jnp.asarray(feats))
+    np.testing.assert_array_equal(qh, qd)
+    np.testing.assert_allclose(sh, sd, rtol=1e-6)
+    np.testing.assert_allclose(oh, od, rtol=1e-6)

