@@ -53,6 +53,54 @@ def test_largest_island_session_flag(rng):
         assert n == 1
 
 
+def test_dirty_tracking_exact_vs_full_recompute(rng):
+    """A one-class edit under dirty tracking must produce maps identical
+    to recomputing every class (no-BLS path is per-class independent)."""
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    feats = (rng.standard_normal((8, 8, 8, 8)) * 0.4).astype(np.float32)
+    s_dirty = InteractiveSession(vol, feats, impl="xla")
+    s_full = InteractiveSession(vol, feats, impl="xla", dirty_tracking=False)
+
+    ann = {
+        "a": rng.integers(0, 16, (9, 3)),
+        "b": rng.integers(0, 16, (7, 3)),
+        "c": rng.integers(0, 16, (5, 3)),
+    }
+    for s in (s_dirty, s_full):
+        s.update_annotations({k: v.copy() for k, v in ann.items()})
+    # edit only class "b"
+    ann["b"] = rng.integers(0, 16, (11, 3))
+    out_d = s_dirty.update_annotations({k: v.copy() for k, v in ann.items()})
+    out_f = s_full.update_annotations({k: v.copy() for k, v in ann.items()})
+    assert set(out_d) == set(out_f)
+    for k in out_f:
+        np.testing.assert_array_equal(np.asarray(out_d[k]), np.asarray(out_f[k]))
+
+
+def test_dirty_tracking_reuses_clean_maps(rng):
+    """Clean classes keep the SAME cached array object; removed classes
+    are dropped; empty dirty classes serve zero maps."""
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    feats = (rng.standard_normal((8, 8, 8, 8)) * 0.4).astype(np.float32)
+    s = InteractiveSession(vol, feats, impl="xla")
+    ann = {
+        "a": rng.integers(0, 16, (9, 3)),
+        "b": rng.integers(0, 16, (7, 3)),
+    }
+    first = s.update_annotations({k: v.copy() for k, v in ann.items()})
+    a_map = first["a"]
+    out = s.update_annotations(
+        {"a": ann["a"].copy(), "b": rng.integers(0, 16, (8, 3))}
+    )
+    assert out["a"] is a_map  # untouched class: cached object served
+    out = s.update_annotations(
+        {"a": ann["a"].copy(), "d": np.zeros((0, 3), np.int64)}
+    )
+    assert set(out) == {"a", "d"}  # "b" removed
+    assert out["a"] is a_map
+    assert np.asarray(out["d"]).max() == 0  # empty class → zero map
+
+
 def test_prewarm_with_bilateral_solver(rng):
     vol = rng.random((16, 16, 16)).astype(np.float32)
     feats = (rng.standard_normal((8, 8, 8, 8)) * 0.4).astype(np.float32)

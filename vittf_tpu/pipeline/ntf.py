@@ -140,6 +140,7 @@ def compute_similarities(
     bls_shape_bucket: int | None = None,
     class_bucket: int | None = None,
     bls_ref_u8: jnp.ndarray | None = None,
+    mean_first: bool | None = None,
 ) -> dict[str, jnp.ndarray] | None:
     """Per-class uint8 similarity volumes at half resolution.
 
@@ -160,6 +161,10 @@ def compute_similarities(
             mean-matrix columns — exact) so interactive sessions adding or
             removing classes reuse the compiled graphs, the same way the
             annotation axis is bucketed. None = exact class count.
+        mean_first: override the single-class >1024 mean-first fast path
+            decision. Dirty-class sessions pass the decision computed on
+            the FULL class set so a one-class recompute stays numerically
+            identical to recomputing every class.
     """
     if len(annotations) == 0:
         return None
@@ -169,7 +174,8 @@ def compute_similarities(
 
     in_dims = tuple(volume.shape[-3:])
     sim_shape = tuple(d // 2 for d in in_dims)
-    mean_first = len(annotations) == 1 and counts[0] > 1024
+    if mean_first is None:
+        mean_first = len(annotations) == 1 and counts[0] > 1024
     if impl == "auto":
         import jax
 

@@ -44,6 +44,7 @@ class InteractiveSession:
         class_bucket: int | None = 4,
         largest_island: bool = False,
         island_threshold: int = 69,
+        dirty_tracking: bool = True,
     ):
         self.volume = jnp.asarray(np.asarray(volume, np.float32))
         self.features = jnp.asarray(np.asarray(features, np.float32))
@@ -58,6 +59,12 @@ class InteractiveSession:
         # tests/test_connected_components.py:26-61)
         self.largest_island = largest_island
         self.island_threshold = island_threshold
+        # GUI edits touch one class per frame; with dirty tracking an
+        # update recomputes (and BLS-refines) only classes whose
+        # annotation arrays actually changed — the others serve cached
+        # maps. ~C× less work per frame in the common case.
+        self.dirty_tracking = dirty_tracking
+        self._last_annotations: dict[str, np.ndarray] = {}
         self.similarities: dict[str, jnp.ndarray] = {}
         # the half-res BLS reference is frame-invariant: build it once
         self._bls_ref_u8 = None
@@ -127,24 +134,72 @@ class InteractiveSession:
     def update_annotations(
         self, annotations: dict[str, np.ndarray]
     ) -> dict[str, jnp.ndarray]:
-        """Recompute per-class similarity maps for new annotations."""
-        sims = compute_similarities(
-            self.volume, self.features, annotations,
-            bilateral_solver=self.bilateral_solver, impl=self.impl,
-            bls_shape_bucket=self.bls_shape_bucket,
-            class_bucket=self.class_bucket,
-            bls_ref_u8=self._bls_ref_u8,
-        )
-        if sims and self.largest_island:
-            from vittf_tpu.ops.connected import (
-                filter_similarity_largest_island,
-            )
+        """Recompute per-class similarity maps for new annotations.
 
-            sims = {
-                k: filter_similarity_largest_island(v, self.island_threshold)
-                for k, v in sims.items()
-            }
-        self.similarities = sims or {}
+        With ``dirty_tracking`` (default) only classes whose annotation
+        arrays changed since the last update are recomputed; untouched
+        classes keep their cached maps. Exact for the no-BLS path
+        (per-class similarity + quantization are independent; the
+        mean-first decision is pinned to the full class set). For the
+        bucketed BLS path the common crop extent is derived from the
+        dirty subset only, which stays within that path's documented
+        not-bit-parity envelope (refine_similarities_batched).
+        """
+        ann_np = {k: np.asarray(v) for k, v in annotations.items()}
+        total = sum(int(v.shape[0]) for v in ann_np.values())
+        if not ann_np or total == 0:
+            self._last_annotations = {}
+            self.similarities = {}
+            return self.similarities
+
+        if self.dirty_tracking and self.similarities:
+            dirty = [
+                k for k, v in ann_np.items()
+                if k not in self.similarities
+                or k not in self._last_annotations
+                or not np.array_equal(v, self._last_annotations[k])
+            ]
+        else:
+            dirty = list(ann_np)
+
+        sims = {
+            k: self.similarities[k] for k in ann_np if k not in dirty
+        }
+        dirty_nonzero = {
+            k: ann_np[k] for k in dirty if ann_np[k].shape[0] > 0
+        }
+        if dirty_nonzero:
+            new = compute_similarities(
+                self.volume, self.features, dirty_nonzero,
+                bilateral_solver=self.bilateral_solver, impl=self.impl,
+                bls_shape_bucket=self.bls_shape_bucket,
+                class_bucket=self.class_bucket,
+                bls_ref_u8=self._bls_ref_u8,
+                # pin the fast-path decision to the FULL class set so a
+                # dirty-subset recompute is numerically identical
+                mean_first=(len(ann_np) == 1 and total > 1024),
+            )
+            if self.largest_island:
+                from vittf_tpu.ops.connected import (
+                    filter_similarity_largest_island,
+                )
+
+                new = {
+                    k: filter_similarity_largest_island(
+                        v, self.island_threshold
+                    )
+                    for k, v in new.items()
+                }
+            sims.update(new)
+        # empty dirty classes (mid-annotation GUI state) serve zero maps,
+        # matching what the full recompute produces for zero-count classes
+        sim_shape = tuple(d // 2 for d in self.volume.shape[-3:])
+        for k in dirty:
+            if k not in sims:
+                sims[k] = jnp.zeros(sim_shape, jnp.uint8)
+
+        self._last_annotations = {k: v.copy() for k, v in ann_np.items()}
+        self.similarities = {k: sims[k] for k in ann_np}
         return self.similarities
 
     def predict(self, thresholds=None) -> jnp.ndarray:
