@@ -167,3 +167,33 @@ def test_kmeans_pca_meter(rng):
     m.update(1.0)
     m.update(3.0)
     assert m.avg == 2.0
+
+
+def test_vit_selfsup_trains(rng):
+    """Token-contrastive ViT self-supervision: a few steps run, loss is
+    finite, params move, and the result feeds extract_features."""
+    import jax.numpy as jnp
+
+    from vittf_tpu.models.vit import ViTConfig, init_vit_params
+    from vittf_tpu.train.vit_ssl import ViTSelfSupConfig, train_vit_selfsup
+
+    import jax
+
+    vit_cfg = ViTConfig(
+        patch_size=8, embed_dim=48, depth=2, num_heads=3, name="tiny"
+    )
+    params = init_vit_params(vit_cfg, jax.random.PRNGKey(0))
+    vol = rng.random((24, 24, 24)).astype("float32")
+    cfg = ViTSelfSupConfig(im_sz=16, batch_slices=4, steps=3)
+    before = np.asarray(params["blocks"][-1]["qkv"]["kernel"]).copy()
+    trained, hist = train_vit_selfsup(vol, params, vit_cfg, cfg, seed=0)
+    assert np.isfinite(hist[-1]["loss"])
+    after = np.asarray(trained["blocks"][-1]["qkv"]["kernel"])
+    assert not np.allclose(before, after)
+
+    from vittf_tpu.pipeline.features import ExtractConfig, extract_features
+    feats = extract_features(
+        jnp.asarray(vol), trained, vit_cfg,
+        ExtractConfig(feature_output_size=4, batch_size=4),
+    )["k"]
+    assert feats.shape[1:] == (4, 4, 4) and np.isfinite(np.asarray(feats)).all()

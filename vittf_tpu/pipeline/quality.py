@@ -166,12 +166,39 @@ def _predict_and_score(vol, feats, annotations, labels, names, n_fg):
     }
 
 
+def grid_ceiling_miou(labels: np.ndarray, fos: int) -> dict:
+    """mIoU of the IDEAL predictor at an fos³ output grid.
+
+    Majority-vote pools the ground-truth labels to the similarity grid and
+    upscales back — the best any feature distribution can do through the
+    pooled-grid pipeline. Contextualizes absolute oracle mIoU numbers
+    (a 16³ grid caps the phantom at ~0.68 regardless of features).
+    """
+    size = labels.shape[0]
+    f = size // fos
+    lab = labels.reshape(fos, f, fos, f, fos, f)
+    n_cls = int(labels.max()) + 1
+    counts = np.stack([(lab == c).sum(axis=(1, 3, 5)) for c in range(n_cls)])
+    grid_pred = counts.argmax(axis=0).astype(np.uint8)
+    up = np.asarray(upscale_prediction(grid_pred, labels.shape))
+    names = ["background"] + [f"c{i}" for i in range(1, n_cls)]
+    m = segmentation_metrics(labels, up, names)
+    fg = {k: v for k, v in m["iou"].items() if k != "background"}
+    return {"mIoU_fg": float(np.mean(list(fg.values()))), "iou": fg}
+
+
 def structured_quality_experiment(
     size: int,
     fos: int | None = None,
     train_iterations: int = 150,
     n_annotations: int = 256,
     seed: int = 0,
+    model_features: tuple = (8, 16, 32),
+    model_linear: tuple = (32,),
+    pos_encoding: bool = True,
+    learning_rate: float = 1e-3,
+    samples_per_iteration: int = 8,
+    temperature: float = 1.0,
 ) -> dict:
     """Fast-vs-full A/B on a TRAINED (non-random) feature distribution.
 
@@ -213,8 +240,17 @@ def structured_quality_experiment(
     n_classes = int(labels.max())
     names = ["background"] + [f"c{i}" for i in range(1, n_classes + 1)]
 
+    from vittf_tpu.models.cnn3d import FeatureExtractorConfig
+
     tcfg = DenseContrastiveConfig(
-        iterations=train_iterations, samples_per_iteration=8,
+        model=FeatureExtractorConfig(
+            n_features=tuple(model_features), n_linear=tuple(model_linear)
+        ),
+        pos_encoding=pos_encoding,
+        learning_rate=learning_rate,
+        temperature=temperature,
+        iterations=train_iterations,
+        samples_per_iteration=samples_per_iteration,
         neg_count=min(1024, size**2),
     )
     trainer = DenseContrastiveTrainer(vol, labels, names, tcfg, seed=seed)
@@ -253,6 +289,15 @@ def structured_quality_experiment(
         "train_iterations": train_iterations,
         "final_train_loss": float(rec["loss"]),
         "classes": names[1:],
+        "oracle": {
+            "model_features": list(model_features),
+            "model_linear": list(model_linear),
+            "pos_encoding": pos_encoding,
+            "learning_rate": learning_rate,
+            "samples_per_iteration": samples_per_iteration,
+            "temperature": temperature,
+        },
+        "grid_ceiling": grid_ceiling_miou(np.asarray(labels), fos),
     }
     for mode in ("full", "fast"):
         out[mode] = _predict_and_score(

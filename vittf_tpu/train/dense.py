@@ -36,6 +36,13 @@ class DenseContrastiveConfig:
     normalize: bool = True
     samples_per_iteration: int = 8
     neg_count: int = 4096
+    # InfoNCE temperature. 1.0 = reference parity (old/train.py:145 uses
+    # raw cosine logits). Raw-cosine logits bound the per-pair loss floor
+    # at ln(1 + N·e⁻²), which stops separating CLASSES from each other
+    # once foreground/background split — measured feature collapse onto
+    # one axis (all class anchors ≈ -background direction). τ≈0.07-0.1
+    # restores inter-class separation; used by the quality oracle.
+    temperature: float = 1.0
     lambda_std: float = 1.0
     lambda_ce: float = 1.0
     learning_rate: float = 1e-3
@@ -104,7 +111,7 @@ def _dense_step(
         anchor = pos[:, :, :1]
         keys = jnp.concatenate([pos[:, :, 1:], neg], axis=-1)  # (F, S, 1+N)
         sim = jnp.einsum("fsp,fsn->spn", anchor, keys)[:, 0]  # (S, 1+N)
-        logp = jax.nn.log_softmax(sim, axis=-1)
+        logp = jax.nn.log_softmax(sim / cfg.temperature, axis=-1)
         infonce = -logp[:, 0].mean() * pos_idx.shape[0]  # summed like reference
 
         loss = infonce
