@@ -410,7 +410,8 @@ def main():
                         args=(tdp, sess),
                         kwargs={"max_updates": n_frames,
                                 "poll_interval": 0.02,
-                                "on_update": on_update},
+                                "on_update": on_update,
+                                "verbose": False},
                     )
                     t.start()
                     for i in range(n_frames):

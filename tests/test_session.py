@@ -101,6 +101,52 @@ def test_dirty_tracking_reuses_clean_maps(rng):
     assert np.asarray(out["d"]).max() == 0  # empty class → zero map
 
 
+def test_adaptive_class_bucket(rng):
+    """Dirty updates use the smallest pow2 class bucket that fits (the
+    vmapped BLS solve scales with the padded class count); at or past the
+    configured bucket the usual multiple-of-bucket padding applies."""
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    feats = (rng.standard_normal((8, 8, 8, 8)) * 0.4).astype(np.float32)
+    s = InteractiveSession(vol, feats, impl="xla", class_bucket=4)
+    assert s._adaptive_class_bucket(1) == 1
+    assert s._adaptive_class_bucket(2) == 2
+    assert s._adaptive_class_bucket(3) == 4
+    assert s._adaptive_class_bucket(4) == 4
+    assert s._adaptive_class_bucket(7) == 4  # cap: pads to multiple of 4
+    s2 = InteractiveSession(vol, feats, impl="xla", class_bucket=None)
+    assert s2._adaptive_class_bucket(1) is None
+
+
+def test_dirty_bls_edit_close_to_full_recompute(rng):
+    """A one-class BLS edit (1-class adaptive bucket → its own crop
+    extent) must stay within the bucketed-BLS path's documented
+    deviation envelope of a full recompute."""
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    feats = (rng.standard_normal((8, 8, 8, 8)) * 0.4).astype(np.float32)
+    s_dirty = InteractiveSession(vol, feats, impl="xla", bilateral_solver=True)
+    s_full = InteractiveSession(
+        vol, feats, impl="xla", bilateral_solver=True, dirty_tracking=False
+    )
+    ann = {
+        "a": rng.integers(0, 16, (9, 3)),
+        "b": rng.integers(0, 16, (7, 3)),
+    }
+    for s in (s_dirty, s_full):
+        s.update_annotations({k: v.copy() for k, v in ann.items()})
+    ann["b"] = rng.integers(0, 16, (11, 3))
+    out_d = s_dirty.update_annotations({k: v.copy() for k, v in ann.items()})
+    out_f = s_full.update_annotations({k: v.copy() for k, v in ann.items()})
+    np.testing.assert_array_equal(  # clean class: cached map is exact
+        np.asarray(out_d["a"]), np.asarray(out_f["a"])
+    )
+    d = np.abs(
+        np.asarray(out_d["b"]).astype(np.int32)
+        - np.asarray(out_f["b"]).astype(np.int32)
+    )
+    d = np.minimum(d, 256 - d)  # uint8 wraparound parity distance
+    assert d.mean() < 8.0, d.mean()
+
+
 def test_prewarm_with_bilateral_solver(rng):
     vol = rng.random((16, 16, 16)).astype(np.float32)
     feats = (rng.standard_normal((8, 8, 8, 8)) * 0.4).astype(np.float32)

@@ -129,7 +129,34 @@ class InteractiveSession:
         )
         # fence without touching self.similarities (warmup is invisible)
         int(np.asarray(next(iter(sims.values()))[0, 0, 0]))
+        if self.dirty_tracking and self.class_bucket not in (None, 1):
+            # the steady-state GUI frame is a ONE-class dirty update on
+            # its adaptive 1-class bucket — compile that graph too so the
+            # first real edit doesn't stall
+            sims = compute_similarities(
+                self.volume, self.features, {"_warm0": ann["_warm0"]},
+                bilateral_solver=self.bilateral_solver, impl=self.impl,
+                bls_shape_bucket=self.bls_shape_bucket,
+                class_bucket=1,
+                bls_ref_u8=self._bls_ref_u8,
+                mean_first=False,
+            )
+            int(np.asarray(next(iter(sims.values()))[0, 0, 0]))
         return time.perf_counter() - t0
+
+    def _adaptive_class_bucket(self, n_classes: int) -> int | None:
+        """Smallest pow2 bucket ≥ n_classes, capped at ``class_bucket``
+        (beyond the cap the multiple-of-bucket padding applies as usual).
+        Dirty updates typically carry ONE class; padding it to the full
+        bucket would make the vmapped BLS solve do bucket× the work."""
+        if not self.class_bucket:
+            return None
+        if n_classes >= self.class_bucket:
+            return self.class_bucket
+        b = 1
+        while b < n_classes:
+            b *= 2
+        return b
 
     def update_annotations(
         self, annotations: dict[str, np.ndarray]
@@ -173,7 +200,11 @@ class InteractiveSession:
                 self.volume, self.features, dirty_nonzero,
                 bilateral_solver=self.bilateral_solver, impl=self.impl,
                 bls_shape_bucket=self.bls_shape_bucket,
-                class_bucket=self.class_bucket,
+                # adaptive bucket: a one-class edit pays a 1-class batch
+                # (the vmapped BLS solve scales with the padded class
+                # count), not the full bucket; pow2 sub-buckets keep the
+                # compile-cache footprint at log2(class_bucket) graphs
+                class_bucket=self._adaptive_class_bucket(len(dirty_nonzero)),
                 bls_ref_u8=self._bls_ref_u8,
                 # pin the fast-path decision to the FULL class set so a
                 # dirty-subset recompute is numerically identical
@@ -231,6 +262,7 @@ def watch_directory(
     poll_interval: float = 0.25,
     max_updates: int | None = None,
     on_update=None,
+    verbose: bool = True,
 ) -> int:
     """Serve the artifact contract: on every ``annotations.npy`` change,
     recompute similarities and write ``similarities.npy``/``predictions.npy``.
@@ -256,7 +288,8 @@ def watch_directory(
         try:
             annotations = load_annotations(ann_path)
         except Exception as e:  # partially-written file: retry next poll
-            print(f"annotations read failed ({e}); retrying")
+            if verbose:
+                print(f"annotations read failed ({e}); retrying")
             last_mtime = 0.0
             time.sleep(poll_interval)
             continue
@@ -265,7 +298,11 @@ def watch_directory(
         session.export(data_dir)
         served += 1
         dt = time.perf_counter() - t0
-        print(f"update {served}: {len(annotations)} classes in {dt*1e3:.0f}ms")
+        if verbose:
+            print(
+                f"update {served}: {len(annotations)} classes in "
+                f"{dt*1e3:.0f}ms"
+            )
         if on_update:
             on_update(served, dt)
     return served
