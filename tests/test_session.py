@@ -166,6 +166,17 @@ def test_export_contract(session, rng, tmp_path):
     assert preds.dtype == np.uint8
 
 
+def test_export_empty_state(session, tmp_path):
+    """Cleared annotations export an empty dict + zero predictions
+    instead of crashing the serve loop."""
+    session.update_annotations({})
+    session.export(tmp_path)
+    sims = np.load(tmp_path / "similarities.npy", allow_pickle=True)[()]
+    assert sims == {}
+    preds = np.load(tmp_path / "predictions.npy")
+    assert preds.shape == (8, 8, 8) and preds.max() == 0
+
+
 def test_watch_directory_serves_updates(session, rng, tmp_path):
     """Write annotations from a thread; the watcher must answer each."""
 

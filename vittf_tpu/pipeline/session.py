@@ -245,15 +245,37 @@ class InteractiveSession:
 
     def export(self, data_dir: str | Path) -> None:
         """Write similarities + predictions per the artifact contract
-        (atomic writes — frontends poll these files)."""
+        (atomic writes — frontends poll these files).
+
+        All maps leave the device as ONE stacked fetch: per-class
+        ``np.asarray`` calls would serialize C+1 round trips over the
+        link, which dominates the serve loop on anything slower than
+        local PCIe."""
         from vittf_tpu.core.io import save_array
 
         data_dir = Path(data_dir)
-        save_similarities(data_dir / "similarities.npy", self.similarities)
-        save_array(
-            data_dir / "predictions.npy",
-            np.asarray(self.predict()).astype(np.uint8),
+        names = list(self.similarities)
+        if not names:  # cleared annotations: serve empty + background
+            sim_shape = tuple(d // 2 for d in self.volume.shape[-3:])
+            save_similarities(data_dir / "similarities.npy", {})
+            save_array(
+                data_dir / "predictions.npy",
+                np.zeros(sim_shape, np.uint8),
+            )
+            return
+        stacked = np.asarray(
+            jnp.concatenate(
+                [
+                    jnp.stack([self.similarities[n] for n in names]),
+                    self.predict().astype(jnp.uint8)[None],
+                ]
+            )
         )
+        save_similarities(
+            data_dir / "similarities.npy",
+            {n: stacked[i] for i, n in enumerate(names)},
+        )
+        save_array(data_dir / "predictions.npy", stacked[-1])
 
 
 def watch_directory(
