@@ -73,9 +73,12 @@ def main(argv=None) -> None:
         # pilot-selected strong oracle (/tmp/oracle_pilot2.log, r4): wide
         # CNN + τ=0.07 InfoNCE reaches phantom mIoU ≈ 0.65 at 64³/fos16 —
         # past the ≥0.5 bar VERDICT r3 set for the A/B's authority
+        # train_size=64 pins the oracle across cells: every subsample
+        # factor sees the SAME feature distribution (and the 256³ train
+        # step would OOM — its backward holds full-volume activations)
         oracle_kw = (
             dict(model_features=(16, 32, 64), model_linear=(64,),
-                 temperature=0.07)
+                 temperature=0.07, train_size=64)
             if args.strong_oracle
             else {}
         )

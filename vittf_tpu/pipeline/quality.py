@@ -199,6 +199,7 @@ def structured_quality_experiment(
     learning_rate: float = 1e-3,
     samples_per_iteration: int = 8,
     temperature: float = 1.0,
+    train_size: int | None = None,
 ) -> dict:
     """Fast-vs-full A/B on a TRAINED (non-random) feature distribution.
 
@@ -240,6 +241,19 @@ def structured_quality_experiment(
     n_classes = int(labels.max())
     names = ["background"] + [f"c{i}" for i in range(1, n_classes + 1)]
 
+    # the oracle can train on a SMALLER phantom instance (pos encoding is
+    # normalized [-1,1] coords, intensities are size-invariant): the
+    # 256³ train step's backward holds several full-volume activations
+    # (75 GB — OOM), and a size-pinned oracle also keeps the feature
+    # distribution IDENTICAL across the subsample factors under test,
+    # so the factor is the only variable in the sweep.
+    tsize = train_size or size
+    if tsize != size:
+        tvol, tlabels = make_multiclass_volume(tsize, seed=seed)
+        assert int(tlabels.max()) == n_classes
+    else:
+        tvol, tlabels = vol, labels
+
     from vittf_tpu.models.cnn3d import FeatureExtractorConfig
 
     tcfg = DenseContrastiveConfig(
@@ -251,13 +265,14 @@ def structured_quality_experiment(
         temperature=temperature,
         iterations=train_iterations,
         samples_per_iteration=samples_per_iteration,
-        neg_count=min(1024, size**2),
+        neg_count=min(1024, tsize**2),
     )
-    trainer = DenseContrastiveTrainer(vol, labels, names, tcfg, seed=seed)
+    trainer = DenseContrastiveTrainer(tvol, tlabels, names, tcfg, seed=seed)
     rec = {"loss": float("nan")}  # train_iterations=0 = untrained baseline
     for _ in range(train_iterations):
         rec = trainer.step()
-    feats = trainer.dense_features()  # (F, Z, Y, X) full resolution
+    # (F, Z, Y, X) features of the EVAL volume at full resolution
+    feats = trainer.dense_features(vol if tsize != size else None)
     feats = feats / jnp.maximum(
         jnp.linalg.norm(feats, axis=0, keepdims=True), 1e-12
     )
@@ -296,6 +311,7 @@ def structured_quality_experiment(
             "learning_rate": learning_rate,
             "samples_per_iteration": samples_per_iteration,
             "temperature": temperature,
+            "train_size": tsize,
         },
         "grid_ceiling": grid_ceiling_miou(np.asarray(labels), fos),
     }

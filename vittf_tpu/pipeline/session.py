@@ -130,18 +130,26 @@ class InteractiveSession:
         # fence without touching self.similarities (warmup is invisible)
         int(np.asarray(next(iter(sims.values()))[0, 0, 0]))
         if self.dirty_tracking and self.class_bucket not in (None, 1):
-            # the steady-state GUI frame is a ONE-class dirty update on
-            # its adaptive 1-class bucket — compile that graph too so the
-            # first real edit doesn't stall
-            sims = compute_similarities(
-                self.volume, self.features, {"_warm0": ann["_warm0"]},
-                bilateral_solver=self.bilateral_solver, impl=self.impl,
-                bls_shape_bucket=self.bls_shape_bucket,
-                class_bucket=1,
-                bls_ref_u8=self._bls_ref_u8,
-                mean_first=False,
-            )
-            int(np.asarray(next(iter(sims.values()))[0, 0, 0]))
+            # steady-state GUI frames are SMALL dirty updates on their
+            # adaptive pow2 buckets — compile each sub-bucket graph too
+            # so the first one-/two-class edit doesn't stall (measured:
+            # an unwarmed bucket costs a ~20 s first-edit compile)
+            b = 1
+            while b < self.class_bucket:
+                sims = compute_similarities(
+                    self.volume, self.features,
+                    {
+                        f"_warm{i}": ann[f"_warm{i % n_classes}"]
+                        for i in range(b)
+                    },
+                    bilateral_solver=self.bilateral_solver, impl=self.impl,
+                    bls_shape_bucket=self.bls_shape_bucket,
+                    class_bucket=b,
+                    bls_ref_u8=self._bls_ref_u8,
+                    mean_first=False,
+                )
+                int(np.asarray(next(iter(sims.values()))[0, 0, 0]))
+                b *= 2
         return time.perf_counter() - t0
 
     def _adaptive_class_bucket(self, n_classes: int) -> int | None:

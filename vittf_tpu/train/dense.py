@@ -234,9 +234,26 @@ class DenseContrastiveTrainer:
         self.history.append(rec)
         return rec
 
-    def dense_features(self) -> jnp.ndarray:
+    def dense_features(self, vol=None) -> jnp.ndarray:
+        """Full-resolution feature volume of the training volume, or of
+        ``vol`` (preprocessed identically: normalize + pos encoding).
+
+        The separate-volume path lets callers train at a small size and
+        evaluate dense features at a larger one — the forward is a few
+        GB where the train step's backward holds several full-volume
+        activation tensors (75 GB at 256³) and OOMs.
+        """
+        if vol is None:
+            v = self.vol
+        else:
+            v = jnp.asarray(vol, jnp.float32)
+            if self.cfg.normalize:
+                v = norm_mean_std(v)
+            v = v[None]
+            if self.cfg.pos_encoding:
+                v = add_pos_encoding(v)
         pad = self.cfg.rec_field // 2
-        padded = jnp.pad(self.vol[None], ((0, 0), (0, 0)) + ((pad, pad),) * 3)
+        padded = jnp.pad(v[None], ((0, 0), (0, 0)) + ((pad, pad),) * 3)
         return feature_extractor_forward(self.params, padded, self.model_cfg)[0]
 
     def validate(self) -> dict:

@@ -59,6 +59,9 @@ def _token_features(params, images, vit_cfg: ViTConfig, cfg: ViTSelfSupConfig):
     rgb = jnp.repeat(images, 3, axis=1)
     _, qkv = vit_forward_raw(
         params, rgb, vit_cfg,
+        # XLA attention: the Pallas kernel has no JVP (pl.reciprocal is
+        # not differentiable) and training batches are tiny anyway
+        attn_impl="xla",
         return_qkv_last=True, capture="qkv", stop_after_capture=True,
         compute_dtype=jnp.dtype(cfg.compute_dtype),
     )
