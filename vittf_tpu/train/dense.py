@@ -174,12 +174,9 @@ class DenseContrastiveTrainer:
 
         import dataclasses
 
-        model_cfg = FeatureExtractorConfig(
-            in_dim=int(v.shape[0]),
-            n_features=cfg.model.n_features,
-            n_linear=cfg.model.n_linear,
-            residual=cfg.model.residual,
-        )
+        # replace() keeps EVERY model field (a field-by-field rebuild
+        # silently dropped 'norm' when it was added to the config)
+        model_cfg = dataclasses.replace(cfg.model, in_dim=int(v.shape[0]))
         self.model_cfg = model_cfg
         self.cfg = dataclasses.replace(cfg, model=model_cfg)
 
@@ -234,14 +231,21 @@ class DenseContrastiveTrainer:
         self.history.append(rec)
         return rec
 
-    def dense_features(self, vol=None) -> jnp.ndarray:
+    def dense_features(self, vol=None, chunk: int | None = None) -> jnp.ndarray:
         """Full-resolution feature volume of the training volume, or of
         ``vol`` (preprocessed identically: normalize + pos encoding).
 
         The separate-volume path lets callers train at a small size and
-        evaluate dense features at a larger one — the forward is a few
-        GB where the train step's backward holds several full-volume
-        activation tensors (75 GB at 256³) and OOMs.
+        evaluate dense features at a larger one — the train step's
+        backward holds several full-volume activation tensors (75 GB at
+        256³) and OOMs where the forward alone fits. Past ~128³ even the
+        forward's intermediate stack exceeds HBM, so ``chunk`` (default:
+        auto, 64-slab past 128³) runs halo-padded z-slabs — every conv
+        sees rec_field//2 of real context, so the conv stack is exact;
+        with norm='group' the GroupNorm spatial statistics are per-slab
+        (millions of voxels each), making slab outputs approximate to
+        within GN-stat sampling noise (bounded in tests). norm='none'
+        chunks exactly.
         """
         if vol is None:
             v = self.vol
@@ -253,8 +257,23 @@ class DenseContrastiveTrainer:
             if self.cfg.pos_encoding:
                 v = add_pos_encoding(v)
         pad = self.cfg.rec_field // 2
+        Z = v.shape[1]
+        if chunk is None and Z > 128:
+            chunk = 64
         padded = jnp.pad(v[None], ((0, 0), (0, 0)) + ((pad, pad),) * 3)
-        return feature_extractor_forward(self.params, padded, self.model_cfg)[0]
+        if not chunk or chunk >= Z:
+            return feature_extractor_forward(
+                self.params, padded, self.model_cfg
+            )[0]
+        outs = []
+        for z0 in range(0, Z, chunk):
+            z1 = min(z0 + chunk, Z)
+            # output rows [z0, z1) need padded rows [z0, z1 + 2·pad)
+            slab = padded[:, :, z0 : z1 + 2 * pad]
+            outs.append(
+                feature_extractor_forward(self.params, slab, self.model_cfg)[0]
+            )
+        return jnp.concatenate(outs, axis=1)
 
     def validate(self) -> dict:
         """Cluster centers → L2/cosine segmentations → per-class IoU
