@@ -15,11 +15,18 @@ def test_slice_flops_hand_computed():
     N, D = 4097, 384
     full_block = 24 * N * D * D + 4 * N * N * D
     expect = (
-        2 * (N - 1) * D * (3 * 64)      # patch embed
+        2 * (N - 1) * D * 64            # grayscale-folded patch embed
         + 11 * full_block                # 11 full blocks
-        + 6 * N * D * D                  # capture block stops after qkv
+        + 2 * N * D * D                  # capture block: k third only
     )
     assert vit_slice_flops(N, cfg) == expect
+    # RGB input + all three qkv thirds recovers the unfolded count
+    expect_rgb = (
+        2 * (N - 1) * D * (3 * 64)
+        + 11 * full_block
+        + 6 * N * D * D
+    )
+    assert vit_slice_flops(N, cfg, embed_in_ch=3, capture_thirds=3) == expect_rgb
 
 
 def test_extraction_flops_full_vs_fast_ratio():

@@ -223,19 +223,31 @@ def vit_forward_raw(
     capture: str = "qkv",
     stop_after_capture: bool = False,
     block_impl: str = "xla",  # 'xla' | 'fused' (bf16 speed mode only)
+    capture_thirds: tuple | None = None,
 ):
     """Run the ViT over a batch of images (trace-time function; see
     ``vit_forward`` for the jitted entry point).
 
     Args:
-        images: (B, 3, H, W), H/W multiples of ``cfg.patch_size``.
+        images: (B, C, H, W), H/W multiples of ``cfg.patch_size``. C must
+            match the patch-embed kernel's input channels (3 for hub
+            checkpoints; 1 when the caller pre-folded the grayscale
+            replicate + ImageNet normalize into the kernel —
+            pipeline/features.fold_grayscale_patch_embed).
         compute_dtype: activation/matmul dtype — bfloat16 for TPU
             throughput, float32 (+ precision='highest') for parity runs.
+        capture_thirds: with ``stop_after_capture`` + ``capture='qkv'``,
+            compute only these thirds of the last block's qkv projection
+            (e.g. ``(1,)`` = k only). The narrowed matmul is exactly the
+            corresponding column block of the fused qkv linear; extraction
+            consumes one third by default, so the other two are dead
+            compute (and a ~52 MB/batch HLO slice) otherwise.
 
     Returns:
         (tokens, qkv_last): tokens (B, 1+hw, D) after the final LayerNorm;
         qkv_last (B, 1+hw, 3D) — the last block's qkv projection output,
-        the tensor the reference captures by hook (infer.py:133-135).
+        the tensor the reference captures by hook (infer.py:133-135) —
+        (B, 1+hw, len(capture_thirds)·D) when narrowed.
     """
     dtype = jnp.dtype(compute_dtype)
     if params["cls_token"].dtype != dtype:
@@ -245,16 +257,18 @@ def vit_forward_raw(
     P = cfg.patch_size
     h, w = H // P, W // P
 
-    x = jax.lax.conv_general_dilated(
-        images.astype(params["patch_embed"]["kernel"].dtype),
-        params["patch_embed"]["kernel"],
-        window_strides=(P, P),
-        padding="VALID",
-        dimension_numbers=("NCHW", "HWIO", "NHWC"),
-        precision=precision,
-    )
+    # Patch embed as a token GEMM. The stride-P "conv" is a disjoint
+    # patch regroup + one (h·w, P²C) × (P²C, D) matmul; XLA's conv path
+    # lowers the C=3 NCHW case poorly on TPU (C doesn't tile to the lane
+    # dim — measured 44 ms of a 1.04 s 1024³ fast extraction, ~3% of
+    # peak), while the regroup is pure data formatting and the GEMM runs
+    # on the MXU. Contraction order (i, j, c) matches the HWIO kernel
+    # reshape, so this is the same dot product, not an approximation.
+    kernel = params["patch_embed"]["kernel"]  # (P, P, C, D) HWIO
+    xp = images.astype(kernel.dtype).reshape(B, C, h, P, w, P)
+    xp = jnp.transpose(xp, (0, 2, 4, 3, 5, 1)).reshape(B, h * w, P * P * C)
+    x = _dot(xp, kernel.reshape(P * P * C, cfg.embed_dim), precision)
     x = x + params["patch_embed"]["bias"]
-    x = x.reshape(B, h * w, cfg.embed_dim)
 
     cls = jnp.broadcast_to(params["cls_token"], (B, 1, cfg.embed_dim)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)
@@ -279,7 +293,23 @@ def vit_forward_raw(
             # rest of the block and the final LayerNorm are dead compute
             # (~8% of the forward). 'mlp' capture needs the full block.
             y = _layer_norm(x, blk["norm1"])
-            qkv_last = _linear(y, blk["qkv"], precision)
+            if capture_thirds is not None:
+                # narrowed qkv: only the requested D-wide column blocks
+                # of the fused projection (q|k|v are contiguous thirds of
+                # the output dim — see split_qkv / infer.py:189-193)
+                D = cfg.embed_dim
+                ker = blk["qkv"]["kernel"]
+                bias = blk["qkv"]["bias"]
+                ker = jnp.concatenate(
+                    [ker[:, t * D:(t + 1) * D] for t in capture_thirds],
+                    axis=1,
+                )
+                bias = jnp.concatenate(
+                    [bias[t * D:(t + 1) * D] for t in capture_thirds]
+                )
+                qkv_last = _dot(y, ker, precision) + bias
+            else:
+                qkv_last = _linear(y, blk["qkv"], precision)
             return None, qkv_last
         if use_fused and want is None:
             x = fused_block(

@@ -12,20 +12,30 @@ from __future__ import annotations
 TPU_V5E_BF16_PEAK = 197e12
 
 
-def vit_slice_flops(n_tokens: int, cfg, last_block_qkv_only: bool = True) -> float:
+def vit_slice_flops(
+    n_tokens: int,
+    cfg,
+    last_block_qkv_only: bool = True,
+    embed_in_ch: int = 1,
+    capture_thirds: int = 1,
+) -> float:
     """FLOPs for one slice (image) through the ViT forward.
 
     Per full block: qkv 6ND² + QKᵀ 2N²D + PV 2N²D + proj 2ND² + MLP
     2·(2·N·D·4D) = 24ND² + 4N²D. The capture block (last) stops after its
-    qkv projection (models/vit.py stop_after_capture), so it costs 6ND².
-    Patch embedding: 2·(N-1)·D·(3p²).
+    qkv projection (models/vit.py stop_after_capture) and computes only
+    the requested thirds (capture_thirds ∈ {1,2,3}; extraction defaults
+    to k alone → 2ND²). Patch embedding: 2·(N-1)·D·(C·p²) — C=1 for
+    scalar volumes (the grayscale replicate + ImageNet normalize are
+    folded into the kernel, pipeline/features.fold_grayscale_patch_embed),
+    3 for RGB inputs.
     """
     N, D, p = n_tokens, cfg.embed_dim, cfg.patch_size
     mlp_mult = getattr(cfg, "mlp_ratio", 4.0)
     full_block = (8 + 4 * mlp_mult) * N * D * D + 4 * N * N * D
     depth_full = cfg.depth - 1 if last_block_qkv_only else cfg.depth
-    last = 6 * N * D * D if last_block_qkv_only else 0.0
-    embed = 2 * (N - 1) * D * (3 * p * p)
+    last = 2 * capture_thirds * N * D * D if last_block_qkv_only else 0.0
+    embed = 2 * (N - 1) * D * (embed_in_ch * p * p)
     return embed + depth_full * full_block + last
 
 
@@ -59,7 +69,14 @@ def extraction_flops(vol_shape, cfg, ex_cfg) -> float:
         pooled = ex_cfg.pooling()
         n_slices = o_ax if (ex_cfg.slice_subsample and pooled and S > o_ax) else S
         n_slices = -(-n_slices // ex_cfg.batch_size) * ex_cfg.batch_size
-        total += n_slices * vit_slice_flops(n_tokens, cfg)
+        thirds = (
+            len(ex_cfg.return_keys)
+            if ex_cfg.feature_source == "qkv"
+            else 3
+        )
+        total += n_slices * vit_slice_flops(
+            n_tokens, cfg, capture_thirds=thirds
+        )
     return total
 
 
