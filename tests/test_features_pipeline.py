@@ -210,6 +210,29 @@ def test_return_multiple_keys(model_pair, volume):
         )
 
 
+def test_return_keys_order_preserved(model_pair, volume):
+    """Non-sorted return_keys: the narrowed qkv capture (capture_thirds)
+    must map output columns back to the caller's key order."""
+    import dataclasses
+
+    _, params = model_pair
+    cfg_all = ExtractConfig(
+        feature_output_size=4, slice_along="z", batch_size=4,
+        return_keys=("q", "k", "v"), precision="highest", attn_impl="xla",
+        pool_slice_axis=True,
+    )
+    cfg_vq = dataclasses.replace(cfg_all, return_keys=("v", "q"))
+    ref = extract_features(jnp.asarray(volume), params, TINY, cfg_all)
+    out = extract_features(jnp.asarray(volume), params, TINY, cfg_vq)
+    # jit canonicalizes dict outputs to sorted key order; what matters is
+    # that each key maps to ITS features despite the narrowed projection
+    assert set(out) == {"v", "q"}
+    for key in ("v", "q"):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), np.asarray(ref[key]), rtol=1e-6, atol=1e-6
+        )
+
+
 def test_fused_all_axes_matches_sequential(rng):
     """Cubic-volume fused 3-axis sweep (one jit) is bit-identical to the
     sequential per-axis path: same batch order per axis, same z+y+x
