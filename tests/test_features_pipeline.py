@@ -269,6 +269,84 @@ def test_fused_all_axes_matches_sequential(rng):
         np.testing.assert_array_equal(got, total)
 
 
+def test_predecimated_fast_input_exact(rng, monkeypatch):
+    """Fast-mode predecimation (vol[::r,::r,::r] once, when the in-plane
+    nearest resize is integer-strided and every picked plane lands on the
+    lattice) is element-identical to the unfiltered path. Geometry: 32³ at
+    fos4/patch4 → im 16, r=2, picks {4,12,20,28} all even."""
+    import jax
+
+    from vittf_tpu.models.vit import init_vit_params
+    from vittf_tpu.pipeline import features as FT
+
+    params = init_vit_params(TINY, jax.random.PRNGKey(7))
+    vol = rng.random((32, 32, 32)).astype(np.float32)
+    cfg = FT.ExtractConfig(
+        feature_output_size=4, slice_along="all", batch_size=4,
+        precision="highest", attn_impl="xla", slice_subsample=True,
+    )
+    # the guard must actually trigger at this geometry
+    dec = FT._predecimate_fast_input(jnp.asarray(vol), (16,) * 3, (4,) * 3)
+    assert dec.shape == (16, 16, 16)
+    np.testing.assert_array_equal(np.asarray(dec), vol[::2, ::2, ::2])
+
+    got = np.asarray(FT.extract_features(vol, params, TINY, cfg)["k"])
+    monkeypatch.setattr(FT, "_predecimate_fast_input", lambda v, *_: v)
+    FT._extract_all_axes_fused.clear_cache()
+    want = np.asarray(FT.extract_features(vol, params, TINY, cfg)["k"])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_identity_pool_scan_matches_einsum(rng):
+    """The identity-pool stacking path must be bit-identical to the
+    einsum-accumulate path it replaces (fp32 contribution with weight 1.0
+    into a zero slot), for both the single-axis and fused-3-axis weight
+    layouts, including zero-weight batch padding."""
+    import jax
+
+    from vittf_tpu.models.vit import init_vit_params
+    from vittf_tpu.pipeline import features as FT
+
+    params = init_vit_params(TINY, jax.random.PRNGKey(11))
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    im_sz, feat_sz = FT.compute_im_sizes(vol.shape, 4, TINY.patch_size)
+    mima = (jnp.float32(vol.min()), jnp.float32(vol.max()))
+
+    # batch 3 does not divide the 4 picked slices → padded final batch
+    s_b, w_b, (img_hw, f_hw, o_ax, _, ident) = FT.prepare_axis_batches(
+        jnp.asarray(vol), TINY, "y", im_sz, feat_sz, 3,
+        slice_subsample=True, pool_slice_axis=True,
+    )
+    assert ident
+    args = (params, s_b, w_b, TINY, img_hw, f_hw, o_ax, (1,),
+            "highest", "xla", jnp.float32)
+    fast = FT._scan_pooled_extraction(*args, mima=mima, identity_pool=True)
+    slow = FT._scan_pooled_extraction(*args, mima=mima, identity_pool=False)
+    np.testing.assert_array_equal(np.asarray(fast[0]), np.asarray(slow[0]))
+
+    s_all, w_all, (img_hw, f_hw, o_ax, ident) = FT._build_fused_all_stacks(
+        jnp.asarray(vol), TINY, im_sz, feat_sz, 3, True
+    )
+    assert ident
+    args = (params, s_all, w_all, TINY, img_hw, f_hw, o_ax, (1,),
+            "highest", "xla", jnp.float32)
+    fast = FT._scan_pooled_extraction(*args, mima=mima, identity_pool=True)
+    slow = FT._scan_pooled_extraction(*args, mima=mima, identity_pool=False)
+    np.testing.assert_array_equal(np.asarray(fast[0]), np.asarray(slow[0]))
+
+
+def test_predecimate_fall_through():
+    """Non-lattice geometries must pass through untouched: non-cubic, im
+    not dividing S, im == S, and odd pick offsets."""
+    from vittf_tpu.pipeline import features as FT
+
+    v = jnp.zeros((24, 24, 24))
+    assert FT._predecimate_fast_input(v, (16, 16, 16), (4, 4, 4)) is v
+    assert FT._predecimate_fast_input(v, (24, 24, 24), (4, 4, 4)) is v
+    nc = jnp.zeros((32, 32, 16))
+    assert FT._predecimate_fast_input(nc, (16, 16, 16), (4, 4, 4)) is nc
+
+
 def test_fused_all_not_applicable_non_cubic(rng):
     from vittf_tpu.pipeline import features as FT
 

@@ -65,7 +65,10 @@ def _extract_fused_sharded(vol, params, model_cfg, cfg, mesh, im_sz,
     ndata = mesh.shape["data"]
     dtype = jnp.dtype(cfg.compute_dtype)
     key_idx = tuple(_qkv_index(k) for k in cfg.return_keys)
-    slices_all, w_all, (img_hw, f_hw, o_ax) = _build_fused_all_stacks(
+    # identity_pool (geom[-1]) is deliberately unused here: the sharded
+    # scan keeps the dense einsum accumulator so each device's partial is
+    # psum-combinable; its per-device traffic divides by the device count
+    slices_all, w_all, (img_hw, f_hw, o_ax, _) = _build_fused_all_stacks(
         vol, model_cfg, im_sz, feat_out_sz, cfg.batch_size,
         cfg.slice_subsample,
     )
@@ -127,9 +130,11 @@ def extract_features_sharded(
     axes = ["z", "y", "x"] if cfg.slice_along == "all" else [cfg.slice_along]
     out: dict[str, jnp.ndarray] = {}
     for ax in axes:
-        slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis) = prepare_axis_batches(
-            vol_normed, model_cfg, ax, im_sz, feat_out_sz, cfg.batch_size,
-            cfg.slice_subsample, cfg.pooling(),
+        slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis, _) = (
+            prepare_axis_batches(
+                vol_normed, model_cfg, ax, im_sz, feat_out_sz,
+                cfg.batch_size, cfg.slice_subsample, cfg.pooling(),
+            )
         )
         slices_b, w_pool_b = _pad_batches_to(slices_b, w_pool_b, ndata)
 

@@ -207,7 +207,7 @@ def _slice_batch_features(
 def _scan_pooled_extraction(
     params, slices_b, w_pool_b, cfg, img_hw, f_hw, o_ax,
     key_idx, precision, attn_impl, dtype, feature_source="qkv",
-    block_impl="xla", mima=None, init=None,
+    block_impl="xla", mima=None, init=None, identity_pool=False,
 ):
     """Core scan over slice batches with fused slice-axis pooling.
 
@@ -220,6 +220,18 @@ def _scan_pooled_extraction(
             host-streamed path (pipeline/streamed.py) chains chunks of
             batches through repeated calls, which is exact because the
             accumulation is a plain ordered sum over batches.
+        identity_pool: static promise that the pool matrix is the
+            identity (fast-mode picked slices, or an unpooled single-axis
+            sweep): slice i is output slot i, so the pooled result is the
+            scan's stacked per-step features, reshaped. The carried
+            einsum-accumulate would read AND write the full fp32
+            accumulator every step — at 1024³ fast (3, 64, 4096, 384)
+            fp32 = 1.2 GB, i.e. ~29 GB of HBM traffic over 12 steps,
+            measured as 44 ms of a 1.0 s extraction — where stacking
+            writes each element exactly once. Bit-identical: the identity
+            einsum contributes each fp32 feature with weight 1.0 into a
+            zero slot. Ignored when ``init`` is given (the streamed
+            path's chunk chaining needs a carry).
 
     Returns one (o_ax, fh·fw, D) — or (A, o_ax, fh·fw, D) — fp32
     accumulator per requested key. The sum over batches distributes, so
@@ -239,6 +251,27 @@ def _scan_pooled_extraction(
     acc_shape = (
         (w_pool_b.shape[1], o_ax) if multi else (o_ax,)
     ) + (f_hw[0] * f_hw[1], D)
+
+    if identity_pool and init is None:
+
+        def body_stack(carry, batch):
+            fks = _slice_batch_features(
+                params, batch, cfg, img_hw, f_hw, key_idx, precision,
+                attn_impl, dtype, feature_source, block_impl, mima,
+            )
+            return carry, tuple(fks)
+
+        _, ys = jax.lax.scan(body_stack, 0, slices_b)
+        nb, B = slices_b.shape[:2]
+        out = []
+        for y in ys:  # (nb, B, fh·fw, D) fp32, slot order = slice order
+            if multi:
+                A = w_pool_b.shape[1]
+                y = y.reshape(A, (nb // A) * B, *y.shape[2:])
+                out.append(y[:, :o_ax])  # drop zero-weight batch padding
+            else:
+                out.append(y.reshape(nb * B, *y.shape[2:])[:o_ax])
+        return tuple(out)
 
     def body(carry, inp):
         batch, w_rows = inp  # (B, C, a, b), ([A,] o_ax, B)
@@ -290,6 +323,13 @@ def prepare_axis_batches(
     if vol_normed.ndim == 3:
         vol_normed = vol_normed[None]  # (1, W, H, D)
     S = vol_normed.shape[perm[0] + 1]
+    # identity slot mapping: every output slot is exactly one slice, in
+    # order (unpooled sweep; fast-mode pick; or S == o_ax where the
+    # adaptive-pool windows are singletons). S < o_ax is NOT identity —
+    # the adaptive matrix repeats slices across slots there.
+    identity_pool = (
+        (not pool_slice_axis) or S == o_ax or (slice_subsample and S > o_ax)
+    )
     if not pool_slice_axis:
         # single-axis reference semantics (infer.py:326 pool_fn=_noop):
         # the slice axis keeps full resolution
@@ -340,7 +380,7 @@ def prepare_axis_batches(
     )
     slices_b = slices.reshape(nb, batch_size, *slices.shape[1:])
     w_pool_b = w_pool.reshape(o_ax, nb, batch_size).transpose(1, 0, 2)
-    return slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis)
+    return slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis, identity_pool)
 
 
 @partial(
@@ -383,15 +423,17 @@ def _extract_axis(
         vol_normed.min().astype(jnp.float32),
         vol_normed.max().astype(jnp.float32),
     )
-    slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis) = prepare_axis_batches(
-        vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size,
-        slice_subsample, pool_slice_axis,
+    slices_b, w_pool_b, (img_hw, f_hw, o_ax, out_axis, ident) = (
+        prepare_axis_batches(
+            vol_normed, cfg, axis, im_sz, feat_out_sz, batch_size,
+            slice_subsample, pool_slice_axis,
+        )
     )
     key_idx = tuple(_qkv_index(k) for k in return_keys)
     acc = _scan_pooled_extraction(
         params, slices_b, w_pool_b, cfg, img_hw, f_hw, o_ax,
         key_idx, precision, attn_impl, dtype, feature_source, block_impl,
-        mima,
+        mima, identity_pool=ident,
     )
     D = cfg.embed_dim if feature_source == "qkv" else cfg.embed_dim // 3
     return {
@@ -449,16 +491,56 @@ def _extract_all_axes_fused(
         vol_normed.min().astype(jnp.float32),
         vol_normed.max().astype(jnp.float32),
     )
-    slices_all, w_all, (img_hw, f_hw, o_ax) = _build_fused_all_stacks(
+    slices_all, w_all, (img_hw, f_hw, o_ax, ident) = _build_fused_all_stacks(
         vol_normed, cfg, im_sz, feat_out_sz, batch_size, slice_subsample
     )
     acc = _scan_pooled_extraction(
         params, slices_all, w_all, cfg, img_hw, f_hw, o_ax,
         key_idx, precision, attn_impl, dtype, feature_source, block_impl,
-        mima,
+        mima, identity_pool=ident,
     )
     D = cfg.embed_dim if feature_source == "qkv" else cfg.embed_dim // 3
     return _fused_all_outputs(acc, return_keys, f_hw, o_ax, feat_out_sz, D)
+
+
+def _predecimate_fast_input(vol, im_sz, feat_out_sz):
+    """Fast-mode prefilter: decimate the volume ONCE when every read is
+    strided anyway.
+
+    At 1024³/fos64 the in-plane nearest resize is a stride-2 subsample
+    (resize_nearest's integer-ratio rule) and the picked plane indices are
+    all even, so every element fast mode ever touches lies on the
+    ``vol[::r, ::r, ::r]`` lattice. Building that lattice once replaces
+    (a) three per-axis strided plane-picks over the FULL volume (the
+    1024³ trace showed ~23 ms of minor-dim-strided slice reads), (b) the
+    per-batch in-plane resize inside the scan (which fused into the
+    patch-embed convolution as strided input reads — 3.7 ms/step vs the
+    1.22 ms/step the same fusion costs on contiguous input), and (c) 4×
+    of the scan-input bytes. Element-identical by construction: the
+    integer-ratio nearest pick IS ``[::r]`` from 0, and the plane-pick
+    equivalence is checked exactly below (host-side, static shapes) with
+    a fall-through to the unfiltered path when it doesn't hold. Global
+    min/max normalization is NOT affected — callers compute it from the
+    full volume before this runs (reference parity, infer.py:155).
+    """
+    shp = vol.shape[-3:]
+    if not (shp[0] == shp[1] == shp[2] and im_sz[0] == im_sz[1] == im_sz[2]):
+        return vol
+    S, im, o_ax = shp[0], im_sz[0], feat_out_sz[0]
+    if im >= S or S % im or im <= o_ax:
+        return vol
+    r = S // im
+    pick = _subsample_slice_indices(S, o_ax)
+    if np.any(pick % r) or not np.array_equal(
+        pick // r, _subsample_slice_indices(im, o_ax)
+    ):
+        return vol
+    nd = vol.ndim
+    start, limit, strides = [0] * nd, list(vol.shape), [1] * nd
+    for ax in range(nd - 3, nd):
+        limit[ax] = (im - 1) * r + 1  # resize_nearest's slice bound
+        strides[ax] = r
+    return jax.lax.slice(vol, start, limit, strides)
 
 
 def _build_fused_all_stacks(
@@ -469,6 +551,8 @@ def _build_fused_all_stacks(
     Shared by the single-device fused sweep and its sharded twin
     (parallel/extract.py) so the weight layout and axis order cannot
     diverge between them."""
+    if slice_subsample:
+        vol_normed = _predecimate_fast_input(vol_normed, im_sz, feat_out_sz)
     stacks = []
     geom = None
     for ax in ("z", "y", "x"):
@@ -483,7 +567,7 @@ def _build_fused_all_stacks(
             "fused sweep needs equal slice geometry"
         )
         geom = g
-    img_hw, f_hw, o_ax, _ = geom
+    img_hw, f_hw, o_ax, _, identity_pool = geom
     nb = stacks[0][0].shape[0]
 
     slices_all = jnp.concatenate([s for s, _ in stacks], axis=0)
@@ -491,7 +575,7 @@ def _build_fused_all_stacks(
     for a, (_, w_b) in enumerate(stacks):
         w_all = w_all.at[a, :, a].set(w_b)
     w_all = w_all.reshape(3 * nb, 3, o_ax, batch_size)
-    return slices_all, w_all, (img_hw, f_hw, o_ax)
+    return slices_all, w_all, (img_hw, f_hw, o_ax, identity_pool)
 
 
 def _fused_all_outputs(acc, return_keys, f_hw, o_ax, feat_out_sz, D):
