@@ -122,6 +122,18 @@ def resize_nearest(x: jnp.ndarray, size: tuple[int, ...]) -> jnp.ndarray:
             x = jax.lax.slice_in_dim(
                 x, 0, (out_size - 1) * r + 1, stride=r, axis=axis
             )
+        elif out_size % in_size == 0:
+            # integer upsample ratio k: floor(i·in/out) = i // k, so each
+            # source element repeats k times — a broadcast + reshape
+            # instead of a gather (the half-res similarity upsample at
+            # 1024³ is three 8× passes over (C, 512³) uint8; gathers on
+            # the lane dim dominated the no-BLS similarity dispatch)
+            k = out_size // in_size
+            xe = jnp.expand_dims(x, axis + 1)
+            tgt = xe.shape[: axis + 1] + (k,) + xe.shape[axis + 2 :]
+            x = jnp.broadcast_to(xe, tgt).reshape(
+                x.shape[:axis] + (out_size,) + x.shape[axis + 1 :]
+            )
         else:
             x = jnp.take(
                 x, jnp.asarray(_nearest_indices(in_size, out_size)), axis=axis
