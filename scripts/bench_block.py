@@ -50,14 +50,15 @@ def main():
             from vittf_tpu.ops.fused_block import fused_block
 
             kimpl = "rows" if impl.startswith("rows") else "loop"
-            smax = not impl.endswith("nomax")
+            smax = "nomax" not in impl
+            sdt = "bf16" if impl.endswith("bf16s") else "fp32"
 
             @jax.jit
             def f(x):
                 for i in range(cfg.depth):
                     x = fused_block(
                         x, blocks[i], cfg.num_heads, impl=kimpl,
-                        softmax_max=smax,
+                        softmax_max=smax, score_dtype=sdt,
                     )
                 return x
 

@@ -116,7 +116,7 @@ def _fused_block_kernel(
     out_ref,  # (1, Np, D)
     y_scr, k_scr, v_scr,  # VMEM (Np, D), (Np, D), (Np, H·128)
     *, num_heads: int, n_rows: int, n_pad: int, skip_max: bool = False,
-    row_block: int = 256,
+    score_bf16: bool = False, row_block: int = 256,
 ):
     D = x_ref.shape[-1]
     hd = D // num_heads
@@ -155,6 +155,7 @@ def _fused_block_kernel(
             x_ref, wq_ref, wproj_ref, bproj_ref, wfc1_ref, bfc1_ref,
             wfc2_ref, bfc2_ref, bq_ref, ln2_ref, ls_ref, y_scr, k_scr,
             v_scr, out_ref.at[0, rows, :], rows, num_heads, skip_max,
+            score_bf16,
         )
         return 0
 
@@ -164,7 +165,7 @@ def _fused_block_kernel(
 def _row_block_body(
     x_ref, wq_ref, wproj_ref, bproj_ref, wfc1_ref, bfc1_ref, wfc2_ref,
     bfc2_ref, bq_ref, ln2_ref, ls_ref, y_scr, k_scr, v_scr, out_ref,
-    rows, num_heads, skip_max=False,
+    rows, num_heads, skip_max=False, score_bf16=False,
 ):
     """Shared per-row-block math: q → per-head attention → proj → MLP.
 
@@ -174,11 +175,20 @@ def _row_block_body(
     Exact softmax identity in real arithmetic; in fp32 it is safe while
     |score| < ~120 in the exp2 domain (real DINO logits are O(10)) and
     saves one full (Rb, Np) VPU reduce per head. Opt-in; overflow would
-    surface as inf/0 outputs, never silently wrong values."""
+    surface as inf/0 outputs, never silently wrong values.
+
+    ``score_bf16`` casts the QK^T score tile to bf16 before exp2 (the
+    MXU accumulator must stay fp32 — Mosaic rejects bf16 acc), so exp2
+    runs on a packed bf16 tile and the post-exp2 cast disappears.
+    MEASURED NEUTRAL on the 12-block ViT-S stack (79.5 vs 80.0 ms with
+    skip_max; 94.8 ms — a clear REGRESSION — with the max pass, whose
+    bf16 row-reduce lowers poorly). Kept as an experiment knob only;
+    not exposed in the block_impl grammar."""
     D = x_ref.shape[-1]
     hd = D // num_heads
     HW = v_scr.shape[-1] // num_heads
     dt = x_ref.dtype
+    sdt = jnp.bfloat16 if score_bf16 else jnp.float32
     qall = (
         jnp.dot(
             y_scr[rows, :], wq_ref[:], preferred_element_type=jnp.float32
@@ -192,8 +202,8 @@ def _row_block_body(
         s = jax.lax.dot_general(
             qh, kh,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Rb, Np); padded key columns are exactly 0
+            preferred_element_type=jnp.float32,  # Mosaic: acc must be 32-bit
+        ).astype(sdt)  # (Rb, Np); padded key columns are exactly 0
         if skip_max:
             p = jnp.exp2(s)
         else:
@@ -228,7 +238,7 @@ def _fused_block_kernel_rows(
     out_ref,  # (1, ROW_BLOCK, D) at (b, i, 0)
     y_scr, k_scr, v_scr,  # persistent VMEM, filled at i == 0
     *, num_heads: int, n_pad: int, skip_max: bool = False,
-    row_block: int = 256,
+    score_bf16: bool = False, row_block: int = 256,
 ):
     """Row-block-per-program variant: grid=(B, n_rows).
 
@@ -268,7 +278,7 @@ def _fused_block_kernel_rows(
     _row_block_body(
         x_ref, wq_ref, wproj_ref, bproj_ref, wfc1_ref, bfc1_ref, wfc2_ref,
         bfc2_ref, bq_ref, ln2_ref, ls_ref, y_scr, k_scr, v_scr,
-        out_ref.at[0], rows, num_heads, skip_max,
+        out_ref.at[0], rows, num_heads, skip_max, score_bf16,
     )
 
 
@@ -276,6 +286,7 @@ def _fused_block_kernel_rows(
     jax.jit,
     static_argnames=(
         "num_heads", "n_valid", "interpret", "impl", "softmax_max",
+        "score_dtype",
     ),
 )
 def fused_block(
@@ -286,6 +297,7 @@ def fused_block(
     interpret: bool = False,
     impl: str = "loop",  # 'loop' (fori over row blocks) | 'rows' (grid)
     softmax_max: bool = True,  # False skips the row-max pass (see body)
+    score_dtype: str = "fp32",  # 'bf16' halves the score tile (see body)
 ) -> jnp.ndarray:
     """Apply one transformer block with the fused kernel. bf16-oriented.
     LayerScale (DINOv2 'ls1'/'ls2' gammas) is applied when present."""
@@ -369,6 +381,7 @@ def fused_block(
                 num_heads=num_heads,
                 n_pad=npad - nv,
                 skip_max=not softmax_max,
+                score_bf16=score_dtype == "bf16",
                 row_block=rb,
             ),
             out_shape=jax.ShapeDtypeStruct((B, npad, D), dt),
@@ -396,6 +409,7 @@ def fused_block(
             n_rows=npad // rb,
             n_pad=npad - nv,
             skip_max=not softmax_max,
+            score_bf16=score_dtype == "bf16",
             row_block=rb,
         ),
         out_shape=jax.ShapeDtypeStruct((B, npad, D), dt),
