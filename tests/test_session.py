@@ -166,6 +166,48 @@ def test_export_contract(session, rng, tmp_path):
     assert preds.dtype == np.uint8
 
 
+def test_export_cache_matches_fresh_session(rng, tmp_path):
+    """Dirty-update exports (host cache serves unchanged classes) must be
+    byte-identical to a cache-cold session exporting the same state."""
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    feats = (rng.standard_normal((8, 8, 8, 8)) * 0.4).astype(np.float32)
+    s = InteractiveSession(vol, feats, impl="xla")
+    ann = {
+        "a": rng.integers(0, 16, (6, 3)),
+        "b": rng.integers(0, 16, (7, 3)),
+        "c": rng.integers(0, 16, (5, 3)),
+    }
+    for d in ("f0", "f1", "f2", "fresh"):
+        (tmp_path / d).mkdir()
+    s.update_annotations(ann)
+    s.export(tmp_path / "f0")
+    # one-class edit: only 'b' changes; 'a'/'c' come from the host cache
+    ann["b"] = rng.integers(0, 16, (9, 3))
+    s.update_annotations(ann)
+    s.export(tmp_path / "f1")
+    assert {n for n, (dev, _) in s._export_cache.items()} == {"a", "b", "c"}
+
+    fresh = InteractiveSession(vol, feats, impl="xla")
+    fresh.update_annotations(ann)
+    fresh.export(tmp_path / "fresh")
+    got = np.load(tmp_path / "f1" / "similarities.npy", allow_pickle=True)[()]
+    want = np.load(
+        tmp_path / "fresh" / "similarities.npy", allow_pickle=True
+    )[()]
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "f1" / "predictions.npy"),
+        np.load(tmp_path / "fresh" / "predictions.npy"),
+    )
+    # dropping a class evicts its cache entry (no stale HBM pins)
+    del ann["c"]
+    s.update_annotations(ann)
+    s.export(tmp_path / "f2")
+    assert set(s._export_cache) == {"a", "b"}
+
+
 def test_export_empty_state(session, tmp_path):
     """Cleared annotations export an empty dict + zero predictions
     instead of crashing the serve loop."""

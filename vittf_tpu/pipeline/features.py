@@ -537,10 +537,16 @@ def _predecimate_fast_input(vol, im_sz, feat_out_sz):
         return vol
     nd = vol.ndim
     start, limit, strides = [0] * nd, list(vol.shape), [1] * nd
-    for ax in range(nd - 3, nd):
+    for ax in range(nd - 3, nd - 1):
         limit[ax] = (im - 1) * r + 1  # resize_nearest's slice bound
         strides[ax] = r
-    return jax.lax.slice(vol, start, limit, strides)
+    # stride the two MAJOR axes with a slice (row-granular HBM reads) and
+    # decimate the minor axis via reshape(…, im, r) + index-0: a minor-dim
+    # strided slice reads lane-strided from HBM (measured 36 ms for the
+    # full (r, r, r) slice at 1024³ fp32 vs 17 ms for this split — same
+    # elements; r·im == S by the guards above, so no pre-slice is needed)
+    vol = jax.lax.slice(vol, start, limit, strides)
+    return vol.reshape(vol.shape[:-1] + (im, r))[..., 0]
 
 
 def _build_fused_all_stacks(
