@@ -26,6 +26,18 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture(autouse=True)
+def _reset_bls_sticky_ext():
+    """The speculative BLS refinement keeps per-process sticky crop
+    extents (pipeline/refine._STICKY_EXT); clear them so tests never see
+    another test's speculation state."""
+    from vittf_tpu.pipeline import refine
+
+    refine._STICKY_EXT.clear()
+    yield
+    refine._STICKY_EXT.clear()
+
+
 def install_icecream_stub():
     """Stub the reference's icecream dependency (not installed here) so its
     modules import; covers `ic` (callable + configureOutput) and the

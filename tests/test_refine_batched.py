@@ -132,3 +132,68 @@ def test_compute_similarities_bucketed_uses_batched_path(rng):
     assert set(out) == {"a", "b"}
     for v in out.values():
         assert v.shape == (12, 12, 12) and v.dtype == jnp.uint8
+
+
+def test_speculative_second_frame_matches_classic(rng):
+    """Frame 1 (classic) seeds the sticky extent; frame 2 with the same
+    boxes runs the speculative single-dispatch path with the SAME crop
+    extent, so its output must be bit-identical to the classic result."""
+    from vittf_tpu.pipeline import refine
+
+    shape = (16, 16, 16)
+    vol = jnp.asarray(rng.random((32, 32, 32)).astype(np.float32))
+    sims = _blob_sims(
+        rng, 2, shape, [((2, 3, 1), (9, 10, 7)), ((6, 6, 6), (13, 14, 12))]
+    )
+    want = np.asarray(
+        refine_similarities_batched(
+            sims, vol, shape, shape_bucket=4, speculative=False
+        )
+    )
+    refine._STICKY_EXT.clear()
+    first = np.asarray(
+        refine_similarities_batched(sims, vol, shape, shape_bucket=4)
+    )
+    np.testing.assert_array_equal(first, want)  # classic seeds sticky
+    assert refine._STICKY_EXT  # sticky recorded
+    second = np.asarray(
+        refine_similarities_batched(sims, vol, shape, shape_bucket=4)
+    )
+    np.testing.assert_array_equal(second, want)
+
+
+def test_speculative_fallback_when_extent_outgrown(rng):
+    """A sticky extent smaller than the frame's padded boxes must be
+    detected on device and fall back to the exact classic path."""
+    from vittf_tpu.pipeline import refine
+
+    shape = (16, 16, 16)
+    vol = jnp.asarray(rng.random((32, 32, 32)).astype(np.float32))
+    sims = _blob_sims(rng, 2, shape, [((1, 1, 1), (14, 14, 14)),
+                                      ((2, 2, 2), (10, 10, 10))])
+    want = np.asarray(
+        refine_similarities_batched(
+            sims, vol, shape, shape_bucket=4, speculative=False
+        )
+    )
+    refine._STICKY_EXT.clear()
+    refine._STICKY_EXT[(2, shape, 4)] = (4, 4, 4)  # deliberately too small
+    got = np.asarray(
+        refine_similarities_batched(sims, vol, shape, shape_bucket=4)
+    )
+    np.testing.assert_array_equal(got, want)
+    # the failed frame still re-seeds the sticky from its actual boxes
+    assert refine._STICKY_EXT[(2, shape, 4)] == (16, 16, 16)
+
+
+def test_speculative_all_empty_keeps_sticky_and_returns_zeros(rng):
+    from vittf_tpu.pipeline import refine
+
+    shape = (12, 12, 12)
+    vol = jnp.asarray(rng.random((24, 24, 24)).astype(np.float32))
+    refine._STICKY_EXT[(3, shape, 4)] = (8, 8, 8)
+    out = refine_similarities_batched(
+        jnp.zeros((3,) + shape, jnp.float32), vol, shape, shape_bucket=4
+    )
+    assert np.asarray(out).max() == 0
+    assert refine._STICKY_EXT[(3, shape, 4)] == (8, 8, 8)

@@ -145,13 +145,7 @@ def _boxes_device(sims: jnp.ndarray, thresh: float):
     return boxes, nonempty
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "crop_shape", "sigma_spatial", "sigma_luma", "lam", "cg_maxiter",
-    ),
-)
-def _refine_batched_device(
+def _refine_batched_core(
     sims: jnp.ndarray,  # (C, *sim_shape) float32
     vol_u8: jnp.ndarray,  # (*sim_shape) uint8 shared reference
     starts: jnp.ndarray,  # (C, 3) int32 crop starts
@@ -162,7 +156,8 @@ def _refine_batched_device(
     cg_maxiter: int,
 ) -> jnp.ndarray:
     """vmapped crop → sobel confidence → bilateral solve → write-back →
-    uint8 quantize for all classes in one dispatch. Returns (C, …) uint8.
+    uint8 quantize for all classes; trace-level body shared by the classic
+    and speculative dispatches. Returns (C, …) uint8.
 
     The sobel confidence runs OUTSIDE the vmap as one batched (C, 1, …)
     conv: a vmapped 5-D conv gets a catastrophic padded layout on TPU
@@ -196,6 +191,71 @@ def _refine_batched_device(
     return jax.vmap(one)(sims, csim, cvol, conf, starts)
 
 
+_refine_batched_device = jax.jit(
+    _refine_batched_core,
+    static_argnames=(
+        "crop_shape", "sigma_spatial", "sigma_luma", "lam", "cg_maxiter",
+    ),
+)
+
+# sticky crop extents for the speculative path, keyed by
+# (C, sim_shape, shape_bucket): the previous frame's actual requirement,
+# bucketed. Interactive edits move the crop box slowly, so the next
+# frame's refine can be dispatched with the last frame's extent and
+# verified ON DEVICE — removing the per-frame box fetch, one of the
+# 30-40 ms tunnel round trips in every BLS frame.
+_STICKY_EXT: dict[tuple, tuple] = {}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sim_shape", "crop_shape", "sigma_spatial", "sigma_luma", "lam",
+        "cg_maxiter",
+    ),
+)
+def _refine_batched_speculative(
+    sims: jnp.ndarray,
+    vol_u8: jnp.ndarray,
+    sim_shape: tuple[int, int, int],
+    crop_shape: tuple[int, int, int],
+    sigma_spatial: int,
+    sigma_luma: int,
+    lam: float,
+    cg_maxiter: int,
+):
+    """Box pass + starts + refine in ONE dispatch, crop extent assumed.
+
+    Returns (maps_u8, fits_u8, ext_required_i32) — callers fetch the two
+    small trailers in one device_get (the frame's only sync) and fall
+    back to the classic two-dispatch path when ``fits`` is 0 (the assumed
+    extent didn't cover some class's padded box). ``ext_required`` seeds
+    the next frame's speculation. All-empty frames return zero maps,
+    matching the classic path's early return."""
+    sims, boxes, nonempty = _prep_boxes_device(sims, sim_shape, 0.1)
+    ne = nonempty.astype(bool)[:, None]
+    shape_arr = jnp.asarray(sim_shape, jnp.int32)
+    ext_arr = jnp.asarray(crop_shape, jnp.int32)
+    mi = jnp.maximum(boxes[:, 0] - 2, 0)  # pad=2, crop_pad parity
+    ma = jnp.minimum(boxes[:, 1] + 2, shape_arr[None])
+    starts = jnp.where(
+        ne, jnp.minimum(mi, shape_arr[None] - ext_arr[None]), 0
+    ).astype(jnp.int32)
+    fits = jnp.all(jnp.where(ne, ma - starts, 0) <= ext_arr[None])
+    ext_required = jnp.max(jnp.where(ne, ma - mi, 0), axis=0)
+    out = _refine_batched_core(
+        sims, vol_u8, starts, crop_shape, sigma_spatial, sigma_luma, lam,
+        cg_maxiter,
+    )
+    any_ne = jnp.any(ne)
+    out = jnp.where(any_ne, out, jnp.uint8(0))
+    return (
+        out,
+        (fits & any_ne).astype(jnp.uint8) + (~any_ne).astype(jnp.uint8),
+        ext_required.astype(jnp.int32),
+    )
+
+
 def make_bls_reference(
     volume: jnp.ndarray, sim_shape: tuple[int, int, int]
 ) -> jnp.ndarray:
@@ -214,8 +274,9 @@ def refine_similarities_batched(
     bs_params: dict | None = None,
     shape_bucket: int = 8,
     ref_u8: jnp.ndarray | None = None,
+    speculative: bool | None = None,
 ) -> jnp.ndarray:
-    """Refine + quantize ALL classes' similarity maps in ~3 round trips.
+    """Refine + quantize ALL classes' similarity maps in 1-2 round trips.
 
     Crops use ONE common bucketed shape (the per-dimension max of the
     NON-EMPTY classes' padded boxes, grown to ``shape_bucket`` multiples),
@@ -228,8 +289,19 @@ def refine_similarities_batched(
     covers a slightly larger region than the reference's tight per-class
     box (not bit-parity; typically closer to the uncropped solve).
 
+    ``speculative`` (default on; ``VITTF_BLS_SPECULATIVE=0`` disables)
+    reuses the PREVIOUS frame's crop extent for the same
+    (C, sim_shape, bucket) key, verifying coverage on device: the frame
+    then runs as one dispatch chain with a single small sync instead of
+    blocking mid-frame on the box fetch. The solved region may differ
+    from the classic frame's (still covering every padded box — inside
+    the same not-bit-parity envelope); a frame whose boxes outgrow the
+    assumption falls back to the classic path, exactly.
+
     Returns (C, *sim_shape) uint8 (already 255/(0.99·max)-quantized).
     """
+    import os
+
     gp = {**BLS_GRID_PARAMS, **(grid_params or {})}
     bs = bs_params or {}
     vol_u8 = (
@@ -237,6 +309,30 @@ def refine_similarities_batched(
     )
 
     C = jnp.asarray(sims).shape[0]
+    if speculative is None:
+        speculative = os.environ.get("VITTF_BLS_SPECULATIVE", "1") != "0"
+    key = (int(C), tuple(sim_shape), int(shape_bucket))
+    sticky = _STICKY_EXT.get(key) if speculative else None
+    if sticky is not None:
+        out, fits_d, ext_req_d = _refine_batched_speculative(
+            sims, vol_u8, tuple(sim_shape), sticky,
+            sigma_spatial=int(gp["sigma_spatial"]),
+            sigma_luma=int(gp["sigma_luma"]),
+            lam=float(bs.get("lam", 256.0)),
+            cg_maxiter=int(bs.get("cg_maxiter", 25)),
+        )
+        fits, ext_req = (np.asarray(a) for a in jax.device_get(
+            (fits_d, ext_req_d)
+        ))
+        if ext_req.max() > 0:  # all-empty frames don't move the sticky
+            _STICKY_EXT[key] = tuple(
+                int(min(-(-int(e) // shape_bucket) * shape_bucket, s))
+                for e, s in zip(ext_req, sim_shape)
+            )
+        if int(fits):
+            return out
+        # assumed extent too small: fall through to the exact classic path
+
     # one dispatch for cast + resize + boxes; one fetch for the two small
     # box arrays (the resized sims stay on device)
     sims, boxes_d, nonempty_d = _prep_boxes_device(
@@ -252,6 +348,8 @@ def refine_similarities_batched(
     # common bucketed crop shape: per-dim max extent over NON-EMPTY classes
     ext = np.max((ma - mi)[nonempty], axis=0)
     ext = np.minimum(-(-ext // shape_bucket) * shape_bucket, sim_shape)
+    if speculative:  # seed the next frame's speculative dispatch
+        _STICKY_EXT[key] = tuple(int(e) for e in ext)
     # per-class starts, shifted back where the common box would overflow;
     # empty classes solve a corner crop of zeros (writes zeros back)
     starts = np.minimum(mi, np.asarray(sim_shape) - ext)

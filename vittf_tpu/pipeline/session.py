@@ -126,15 +126,19 @@ class InteractiveSession:
             for i in range(n_classes)
         }
         t0 = time.perf_counter()
-        sims = compute_similarities(
-            self.volume, self.features, ann,
-            bilateral_solver=self.bilateral_solver, impl=self.impl,
-            bls_shape_bucket=self.bls_shape_bucket,
-            class_bucket=self.class_bucket,
-            bls_ref_u8=self._bls_ref_u8,
-        )
-        # fence without touching self.similarities (warmup is invisible)
-        int(np.asarray(next(iter(sims.values()))[0, 0, 0]))
+        # with BLS on, run the update twice: the first (classic) pass
+        # seeds the speculative sticky extent, the second compiles the
+        # speculative single-dispatch graph the steady-state frames use
+        for _ in range(2 if self.bilateral_solver else 1):
+            sims = compute_similarities(
+                self.volume, self.features, ann,
+                bilateral_solver=self.bilateral_solver, impl=self.impl,
+                bls_shape_bucket=self.bls_shape_bucket,
+                class_bucket=self.class_bucket,
+                bls_ref_u8=self._bls_ref_u8,
+            )
+            # fence without touching self.similarities (warmup invisible)
+            int(np.asarray(next(iter(sims.values()))[0, 0, 0]))
         if self.dirty_tracking and self.class_bucket not in (None, 1):
             # steady-state GUI frames are SMALL dirty updates on their
             # adaptive pow2 buckets — compile each sub-bucket graph too
@@ -142,19 +146,21 @@ class InteractiveSession:
             # an unwarmed bucket costs a ~20 s first-edit compile)
             b = 1
             while b < self.class_bucket:
-                sims = compute_similarities(
-                    self.volume, self.features,
-                    {
-                        f"_warm{i}": ann[f"_warm{i % n_classes}"]
-                        for i in range(b)
-                    },
-                    bilateral_solver=self.bilateral_solver, impl=self.impl,
-                    bls_shape_bucket=self.bls_shape_bucket,
-                    class_bucket=b,
-                    bls_ref_u8=self._bls_ref_u8,
-                    mean_first=False,
-                )
-                int(np.asarray(next(iter(sims.values()))[0, 0, 0]))
+                for _ in range(2 if self.bilateral_solver else 1):
+                    sims = compute_similarities(
+                        self.volume, self.features,
+                        {
+                            f"_warm{i}": ann[f"_warm{i % n_classes}"]
+                            for i in range(b)
+                        },
+                        bilateral_solver=self.bilateral_solver,
+                        impl=self.impl,
+                        bls_shape_bucket=self.bls_shape_bucket,
+                        class_bucket=b,
+                        bls_ref_u8=self._bls_ref_u8,
+                        mean_first=False,
+                    )
+                    int(np.asarray(next(iter(sims.values()))[0, 0, 0]))
                 b *= 2
         return time.perf_counter() - t0
 
