@@ -152,12 +152,16 @@ def test_speculative_second_frame_matches_classic(rng):
     )
     refine._STICKY_EXT.clear()
     first = np.asarray(
-        refine_similarities_batched(sims, vol, shape, shape_bucket=4)
+        refine_similarities_batched(
+            sims, vol, shape, shape_bucket=4, speculative=True
+        )
     )
     np.testing.assert_array_equal(first, want)  # classic seeds sticky
     assert refine._STICKY_EXT  # sticky recorded
     second = np.asarray(
-        refine_similarities_batched(sims, vol, shape, shape_bucket=4)
+        refine_similarities_batched(
+            sims, vol, shape, shape_bucket=4, speculative=True
+        )
     )
     np.testing.assert_array_equal(second, want)
 
@@ -179,7 +183,9 @@ def test_speculative_fallback_when_extent_outgrown(rng):
     refine._STICKY_EXT.clear()
     refine._STICKY_EXT[(2, shape, 4)] = (4, 4, 4)  # deliberately too small
     got = np.asarray(
-        refine_similarities_batched(sims, vol, shape, shape_bucket=4)
+        refine_similarities_batched(
+            sims, vol, shape, shape_bucket=4, speculative=True
+        )
     )
     np.testing.assert_array_equal(got, want)
     # the failed frame still re-seeds the sticky from its actual boxes
@@ -193,7 +199,8 @@ def test_speculative_all_empty_keeps_sticky_and_returns_zeros(rng):
     vol = jnp.asarray(rng.random((24, 24, 24)).astype(np.float32))
     refine._STICKY_EXT[(3, shape, 4)] = (8, 8, 8)
     out = refine_similarities_batched(
-        jnp.zeros((3,) + shape, jnp.float32), vol, shape, shape_bucket=4
+        jnp.zeros((3,) + shape, jnp.float32), vol, shape, shape_bucket=4,
+        speculative=True,
     )
     assert np.asarray(out).max() == 0
     assert refine._STICKY_EXT[(3, shape, 4)] == (8, 8, 8)

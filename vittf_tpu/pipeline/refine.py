@@ -202,8 +202,10 @@ _refine_batched_device = jax.jit(
 # (C, sim_shape, shape_bucket): the previous frame's actual requirement,
 # bucketed. Interactive edits move the crop box slowly, so the next
 # frame's refine can be dispatched with the last frame's extent and
-# verified ON DEVICE — removing the per-frame box fetch, one of the
-# 30-40 ms tunnel round trips in every BLS frame.
+# verified ON DEVICE — removing the per-frame box fetch. Measured
+# neutral at bench geometry on this tunnel (the box fetch already
+# overlaps the dispatch chain), so it's opt-in; see
+# refine_similarities_batched's docstring for the numbers.
 _STICKY_EXT: dict[tuple, tuple] = {}
 
 
@@ -289,14 +291,20 @@ def refine_similarities_batched(
     covers a slightly larger region than the reference's tight per-class
     box (not bit-parity; typically closer to the uncropped solve).
 
-    ``speculative`` (default on; ``VITTF_BLS_SPECULATIVE=0`` disables)
+    ``speculative`` (default OFF; ``VITTF_BLS_SPECULATIVE=1`` opts in)
     reuses the PREVIOUS frame's crop extent for the same
     (C, sim_shape, bucket) key, verifying coverage on device: the frame
     then runs as one dispatch chain with a single small sync instead of
     blocking mid-frame on the box fetch. The solved region may differ
     from the classic frame's (still covering every padded box — inside
     the same not-bit-parity envelope); a frame whose boxes outgrow the
-    assumption falls back to the classic path, exactly.
+    assumption falls back to the classic path, exactly. Measured NEUTRAL
+    on the real chip at bench geometry (256³, paired medians: 5-class
+    474 vs 469 ms, 1-class 170 vs 159 ms, session dirty edit 137 vs
+    134 ms): the classic box fetch already overlaps the dispatch chain,
+    and each sticky-extent drift compiles a second (speculative) graph
+    for the new shape — so the classic path stays the default and the
+    single-dispatch form is an opt-in for high-RTT links.
 
     Returns (C, *sim_shape) uint8 (already 255/(0.99·max)-quantized).
     """
@@ -310,7 +318,7 @@ def refine_similarities_batched(
 
     C = jnp.asarray(sims).shape[0]
     if speculative is None:
-        speculative = os.environ.get("VITTF_BLS_SPECULATIVE", "1") != "0"
+        speculative = os.environ.get("VITTF_BLS_SPECULATIVE", "0") != "0"
     key = (int(C), tuple(sim_shape), int(shape_bucket))
     sticky = _STICKY_EXT.get(key) if speculative else None
     if sticky is not None:

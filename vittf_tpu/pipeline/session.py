@@ -12,6 +12,7 @@ frontend that speaks the artifact contract interactive.
 """
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 
@@ -126,10 +127,15 @@ class InteractiveSession:
             for i in range(n_classes)
         }
         t0 = time.perf_counter()
-        # with BLS on, run the update twice: the first (classic) pass
-        # seeds the speculative sticky extent, the second compiles the
-        # speculative single-dispatch graph the steady-state frames use
-        for _ in range(2 if self.bilateral_solver else 1):
+        # when the opt-in speculative BLS dispatch is on, run the update
+        # twice: the first (classic) pass seeds the speculative sticky
+        # extent, the second compiles the single-dispatch graph the
+        # steady-state frames use (off by default — measured neutral on
+        # this tunnel; see pipeline/refine.py)
+        spec = self.bilateral_solver and os.environ.get(
+            "VITTF_BLS_SPECULATIVE", "0"
+        ) != "0"
+        for _ in range(2 if spec else 1):
             sims = compute_similarities(
                 self.volume, self.features, ann,
                 bilateral_solver=self.bilateral_solver, impl=self.impl,
@@ -146,7 +152,7 @@ class InteractiveSession:
             # an unwarmed bucket costs a ~20 s first-edit compile)
             b = 1
             while b < self.class_bucket:
-                for _ in range(2 if self.bilateral_solver else 1):
+                for _ in range(2 if spec else 1):
                     sims = compute_similarities(
                         self.volume, self.features,
                         {
