@@ -467,6 +467,17 @@ def main():
             if "p50_bls_ms" in table
             else ""
         )
+        + (
+            f" / BLS one-class edit {table['p50_bls_dirty_ms']:.0f}ms"
+            if "p50_bls_dirty_ms" in table
+            else ""
+        )
+        + (
+            f"; serve-loop p50 {table['serve_p50_ms']:.0f}ms"
+            f" / BLS-on {table['serve_p50_bls_ms']:.0f}ms"
+            if "serve_p50_bls_ms" in table
+            else ""
+        )
     )
     print(
         json.dumps(

@@ -381,3 +381,22 @@ def test_bls_shape_bucket_stops_solver_recompiles(rng):
     assert bilateral_solve_gray._cache_size() == c0 + 2, (
         "tight crop expected one new solver graph per shape"
     )
+
+
+def test_export_prediction_matches_device_fuse(rng, tmp_path):
+    """export() fuses predictions on host from the cached maps; the
+    artifact must equal the device fuse of the same similarity state."""
+    from vittf_tpu.pipeline.ntf import fuse_predictions
+
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    feats = (rng.standard_normal((8, 8, 8, 8)) * 0.4).astype(np.float32)
+    s = InteractiveSession(vol, feats, impl="xla")
+    s.update_annotations({
+        "a": rng.integers(0, 16, (6, 3)),
+        "b": rng.integers(0, 16, (7, 3)),
+    })
+    s.export(tmp_path)
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "predictions.npy"),
+        np.asarray(s.predict()).astype(np.uint8),
+    )

@@ -216,3 +216,23 @@ def test_fuse_predictions_semantics(rng):
         pred[mask] = i + 1
         pred_vals[mask] = sim[mask]
     np.testing.assert_array_equal(got, pred.numpy().astype(np.uint8))
+
+
+def test_fuse_predictions_host_matches_device(rng):
+    """The serve loop fuses predictions on HOST from cached uint8 maps
+    (zero D2H per frame); it must be bit-identical to the device fuse,
+    including the >5-class threshold padding and max-sim tie-breaks."""
+    from vittf_tpu.pipeline.ntf import fuse_predictions_host
+
+    for n_cls in (2, 5, 7):
+        sims_np = {
+            f"c{i}": rng.integers(0, 256, (6, 6, 6), dtype=np.uint8)
+            for i in range(n_cls)
+        }
+        # force exact ties so the first-class-wins order is exercised
+        sims_np["c1"][:2] = sims_np["c0"][:2]
+        sims_dev = {k: jnp.asarray(v) for k, v in sims_np.items()}
+        np.testing.assert_array_equal(
+            fuse_predictions_host(sims_np),
+            np.asarray(fuse_predictions(sims_dev)),
+        )

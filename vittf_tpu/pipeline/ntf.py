@@ -273,6 +273,31 @@ def fuse_predictions(
     return _fuse_device(sims, tuple(float(t) for t in thresholds[: sims.shape[0]]))
 
 
+def fuse_predictions_host(
+    similarities: dict[str, "np.ndarray"],
+    thresholds: list[float] = CT_ORG_THRESHOLDS,
+) -> "np.ndarray":
+    """``fuse_predictions`` on HOST numpy arrays, bit-identical.
+
+    The interactive serve loop keeps every class's uint8 map cached on
+    host (session.export's dirty-fetch cache); fusing there costs a few
+    ms of numpy and ZERO device→host transfer, where the device fuse
+    would re-ship a full label volume over the link every frame. Exact
+    parity with ``_fuse_device`` is tested (same mask order, same uint8
+    comparisons)."""
+    sims = [np.asarray(v, dtype=np.uint8) for v in similarities.values()]
+    ths = list(thresholds) + [DEFAULT_THRESHOLD] * (
+        max(0, len(sims) - len(thresholds))
+    )
+    pred = np.zeros(sims[0].shape, np.uint8)
+    pred_vals = np.zeros(sims[0].shape, np.uint8)
+    for i, sim in enumerate(sims):
+        mask = (sim > int(ths[i] * 255)) & (sim > pred_vals)
+        pred[mask] = np.uint8(i + 1)
+        pred_vals[mask] = sim[mask]
+    return pred
+
+
 def upscale_prediction(pred: jnp.ndarray, vol_shape: tuple) -> jnp.ndarray:
     """Nearest-resize a label volume to the full volume shape
     (predict_ntf.py:217-218)."""

@@ -278,8 +278,12 @@ class InteractiveSession:
         ``np.asarray`` calls would serialize C+1 round trips, and with
         dirty tracking an unchanged class keeps the same immutable device
         array, so its previously fetched host bytes are exact. The fused
-        prediction depends on every class and is refetched each frame."""
+        prediction is computed ON HOST from those cached bytes
+        (``fuse_predictions_host``, bit-identical to the device fuse) —
+        a one-class edit therefore ships exactly one map over the link,
+        not one map plus a full label volume."""
         from vittf_tpu.core.io import save_array
+        from vittf_tpu.pipeline.ntf import fuse_predictions_host
 
         data_dir = Path(data_dir)
         names = list(self.similarities)
@@ -296,23 +300,27 @@ class InteractiveSession:
             if self._export_cache.get(n, (None,))[0]
             is not self.similarities[n]
         ]
-        stacked = np.asarray(
-            jnp.stack(
-                [self.similarities[n] for n in fetch]
-                + [self.predict().astype(jnp.uint8)]
+        if fetch:
+            stacked = np.asarray(
+                jnp.stack([self.similarities[n] for n in fetch])
             )
-        )
-        for i, n in enumerate(fetch):
-            self._export_cache[n] = (self.similarities[n], stacked[i])
+            for i, n in enumerate(fetch):
+                self._export_cache[n] = (self.similarities[n], stacked[i])
         # drop classes that no longer exist (their device arrays would
         # otherwise stay pinned in HBM via the cache reference)
         for stale in set(self._export_cache) - set(names):
             del self._export_cache[stale]
-        save_similarities(
-            data_dir / "similarities.npy",
-            {n: self._export_cache[n][1] for n in names},
+        host_maps = {n: self._export_cache[n][1] for n in names}
+        save_similarities(data_dir / "similarities.npy", host_maps)
+        ths = (
+            CT_ORG_THRESHOLDS[: len(names)]
+            if len(names) <= len(CT_ORG_THRESHOLDS)
+            else [0.25] * len(names)
         )
-        save_array(data_dir / "predictions.npy", stacked[-1])
+        save_array(
+            data_dir / "predictions.npy",
+            fuse_predictions_host(host_maps, ths),
+        )
 
 
 def watch_directory(
