@@ -57,3 +57,18 @@ def test_similarity_flops_dominated_by_feature_dot():
     f = similarity_flops((384, 64, 64, 64), 1280, 5)
     assert f > 2 * 64**3 * 384 * 1280
     assert f < 2.1 * 64**3 * 384 * 1280
+
+
+def test_extraction_flops_multichannel_embed():
+    """(C, W, H, D) volume shapes charge C patch-embed input channels."""
+    cfg = DINO_ARCHS["vits8"]
+    ex = ExtractConfig(feature_output_size=32, slice_along="z", batch_size=16)
+    f1 = extraction_flops((128, 128, 128), cfg, ex)
+    f3 = extraction_flops((3, 128, 128, 128), cfg, ex)
+    assert f3 > f1
+    # the delta is exactly the extra 2·(N-1)·D·(2·p²) embed FLOPs per slice
+    n_slices = 128
+    im_sz = 32 * cfg.patch_size
+    n_tokens = (im_sz // cfg.patch_size) ** 2 + 1
+    embed_delta = 2 * (n_tokens - 1) * cfg.embed_dim * (2 * cfg.patch_size**2)
+    assert np.isclose(f3 - f1, n_slices * embed_delta)

@@ -59,3 +59,16 @@ def test_ntf_predict_pred_at_volume_resolution():
     pred, times = ntf_predict(vol, params, cfg, ex_cfg, ann)
     assert pred.shape == vol.shape
     assert pred.max() <= len(ann)
+
+
+def test_grid_ceiling_non_divisible_size():
+    """size % fos != 0 pools the covered corner instead of crashing."""
+    from vittf_tpu.pipeline.quality import grid_ceiling_miou
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 3, (50, 50, 50)).astype(np.uint8)
+    out = grid_ceiling_miou(labels, 16)  # 50 % 16 != 0
+    assert 0.0 <= out["mIoU_fg"] <= 1.0
+    # fos larger than the volume clamps to one cell per voxel
+    out2 = grid_ceiling_miou(labels[:4, :4, :4], 16)
+    assert out2["mIoU_fg"] == 1.0  # identity grid is a perfect predictor

@@ -400,3 +400,29 @@ def test_export_prediction_matches_device_fuse(rng, tmp_path):
         np.load(tmp_path / "predictions.npy"),
         np.asarray(s.predict()).astype(np.uint8),
     )
+
+
+def test_named_empty_classes_serve_zero_maps(session, rng):
+    """A named class with ZERO points (mid-annotation GUI state) gets a
+    zero map — consistent with what a full recompute produces — instead
+    of the whole state being treated as cleared."""
+    out = session.update_annotations({
+        "a": rng.integers(0, 16, (5, 3)),
+        "b": np.zeros((0, 3), np.int32),
+    })
+    assert set(out) == {"a", "b"}
+    assert np.asarray(out["b"]).max() == 0
+    # all-empty but named: every class serves a zero map, predict works
+    out = session.update_annotations({"a": np.zeros((0, 3), np.int32)})
+    assert set(out) == {"a"} and np.asarray(out["a"]).max() == 0
+
+
+def test_cleared_annotations_unpin_export_cache(session, rng, tmp_path):
+    """export() after a clear drops the device-map cache so cleared
+    sessions don't pin stale HBM buffers."""
+    session.update_annotations({"a": rng.integers(0, 16, (5, 3))})
+    session.export(tmp_path)
+    assert session._export_cache
+    session.update_annotations({})
+    session.export(tmp_path)
+    assert not session._export_cache

@@ -175,8 +175,13 @@ def grid_ceiling_miou(labels: np.ndarray, fos: int) -> dict:
     (a 16³ grid caps the phantom at ~0.68 regardless of features).
     """
     size = labels.shape[0]
+    fos = min(fos, size)
     f = size // fos
-    lab = labels.reshape(fos, f, fos, f, fos, f)
+    # non-divisible sizes: pool over the largest covered f·fos³ corner
+    # (the ideal-grid ceiling is a diagnostic; the trimmed sliver only
+    # perturbs it at the boundary)
+    lab = labels[: f * fos, : f * fos, : f * fos]
+    lab = lab.reshape(fos, f, fos, f, fos, f)
     n_cls = int(labels.max()) + 1
     counts = np.stack([(lab == c).sum(axis=(1, 3, 5)) for c in range(n_cls)])
     grid_pred = counts.argmax(axis=0).astype(np.uint8)

@@ -316,7 +316,8 @@ def refine_similarities_batched(
         ref_u8 if ref_u8 is not None else make_bls_reference(volume, sim_shape)
     )
 
-    C = jnp.asarray(sims).shape[0]
+    sims = jnp.asarray(sims)  # one upload; reused by every path below
+    C = sims.shape[0]
     if speculative is None:
         speculative = os.environ.get("VITTF_BLS_SPECULATIVE", "0") != "0"
     key = (int(C), tuple(sim_shape), int(shape_bucket))

@@ -200,7 +200,7 @@ class InteractiveSession:
         """
         ann_np = {k: np.asarray(v) for k, v in annotations.items()}
         total = sum(int(v.shape[0]) for v in ann_np.values())
-        if not ann_np or total == 0:
+        if not ann_np:
             self._last_annotations = {}
             self.similarities = {}
             return self.similarities
@@ -288,6 +288,7 @@ class InteractiveSession:
         data_dir = Path(data_dir)
         names = list(self.similarities)
         if not names:  # cleared annotations: serve empty + background
+            self._export_cache.clear()  # no names left: unpin device maps
             sim_shape = tuple(d // 2 for d in self.volume.shape[-3:])
             save_similarities(data_dir / "similarities.npy", {})
             save_array(

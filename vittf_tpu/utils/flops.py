@@ -45,12 +45,19 @@ def extraction_flops(vol_shape, cfg, ex_cfg) -> float:
     Mirrors the slice-count logic of pipeline/features.py: per axis the
     slice count is the axis extent (full sweep) or the pooled output size
     (slice_subsample), rounded up to a whole number of batches — padded
-    slices execute real compute.
+    slices execute real compute. ``vol_shape`` may carry a leading
+    channel dim ((C, W, H, D), the old/infer_multi.py RGB path) — the
+    patch embed then runs C input channels instead of the folded 1.
     """
     from vittf_tpu.pipeline.features import (
         _AXIS_RULES,
         compute_im_sizes,
     )
+
+    vol_shape = tuple(vol_shape)
+    in_ch = 1
+    if len(vol_shape) == 4:
+        in_ch, vol_shape = vol_shape[0], vol_shape[1:]
 
     im_sz, feat_out_sz = compute_im_sizes(
         tuple(vol_shape), ex_cfg.feature_output_size, cfg.patch_size
@@ -75,7 +82,7 @@ def extraction_flops(vol_shape, cfg, ex_cfg) -> float:
             else 3
         )
         total += n_slices * vit_slice_flops(
-            n_tokens, cfg, capture_thirds=thirds
+            n_tokens, cfg, embed_in_ch=in_ch, capture_thirds=thirds
         )
     return total
 
