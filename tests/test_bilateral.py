@@ -218,3 +218,49 @@ def test_refine_similarity_shape_bucket(gray_volume):
     )
     assert (((ma - mi) % 4) == 0).all()
     assert (mi >= 0).all() and (ma <= 12).all()
+
+
+def test_scan_pixel_impl_matches_scatter(gray_volume):
+    """The blockwise-scan splat/slice lowering agrees with the direct
+    scatter/gather form (fp32 summation order is the only difference)."""
+    rng = np.random.default_rng(6)
+    t = (gray_volume > 150).astype(np.float32)
+    c = rng.random(gray_volume.shape).astype(np.float32) * 0.5 + 0.4
+    kw = dict(sigma_spatial=4, sigma_luma=8)
+    a = np.asarray(bilateral_solve_gray(
+        jnp.asarray(t), jnp.asarray(gray_volume, jnp.float32),
+        jnp.asarray(c), pixel_impl="scan", **kw))
+    b = np.asarray(bilateral_solve_gray(
+        jnp.asarray(t), jnp.asarray(gray_volume, jnp.float32),
+        jnp.asarray(c), pixel_impl="scatter", **kw))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+    # 2D rank too (the 2D solver path)
+    img = gray_volume[:, :, 5].astype(np.float32)
+    t2 = (img > 150).astype(np.float32)
+    c2 = np.full(img.shape, 0.999, np.float32)
+    from vittf_tpu.ops.bilateral import _BLUR_DIM_2D
+    a2 = np.asarray(bilateral_solve_gray(
+        jnp.asarray(t2), jnp.asarray(img), jnp.asarray(c2),
+        sigma_spatial=3, sigma_luma=8, blur_dim=_BLUR_DIM_2D,
+        pixel_impl="scan"))
+    b2 = np.asarray(bilateral_solve_gray(
+        jnp.asarray(t2), jnp.asarray(img), jnp.asarray(c2),
+        sigma_spatial=3, sigma_luma=8, blur_dim=_BLUR_DIM_2D,
+        pixel_impl="scatter"))
+    np.testing.assert_allclose(a2, b2, rtol=2e-4, atol=2e-4)
+
+
+def test_blocked_pixel_view_roundtrip():
+    from vittf_tpu.ops.bilateral import (
+        _blocked_pixel_view,
+        _unblock_pixel_view,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape, ss in [((14, 12, 10), 4), ((13, 11), 3), ((8, 8, 8), 8)]:
+        sp_ext = tuple((s - 1) // ss + 1 for s in shape)
+        x = jnp.asarray(rng.random(shape, np.float32))
+        xb = _blocked_pixel_view(x, ss, sp_ext)
+        assert xb.shape == (int(np.prod(sp_ext)), ss ** len(shape))
+        back = _unblock_pixel_view(xb, ss, sp_ext, shape)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))

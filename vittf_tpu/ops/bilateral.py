@@ -73,6 +73,34 @@ def _vertex_ids(shape, luma, sigma_spatial, sigma_luma):
     return vid, ext
 
 
+def _blocked_pixel_view(x: jnp.ndarray, ss: int, sp_ext, fill=0) -> jnp.ndarray:
+    """(*shape) pixels → (n_cells, ss**rank), grouped by spatial lattice cell.
+
+    The dense lattice's spatial cell of pixel i along any axis is i // ss,
+    so pixels of one cell form an axis-aligned ss**rank block (the last
+    block per axis may be partial — padded here with ``fill``). This view
+    is what lets splat/slice run as blockwise reductions instead of
+    scatter/gather (see ``bilateral_solve_gray``)."""
+    r = x.ndim
+    xp = jnp.pad(
+        x,
+        [(0, e * ss - s) for e, s in zip(sp_ext, x.shape)],
+        constant_values=fill,
+    )
+    xb = xp.reshape(sum(([e, ss] for e in sp_ext), []))
+    perm = [2 * i for i in range(r)] + [2 * i + 1 for i in range(r)]
+    return xb.transpose(perm).reshape(int(np.prod(sp_ext)), ss**r)
+
+
+def _unblock_pixel_view(xb: jnp.ndarray, ss: int, sp_ext, shape) -> jnp.ndarray:
+    """Inverse of ``_blocked_pixel_view``: (n_cells, ss**rank) → (*shape)."""
+    r = len(shape)
+    xb = xb.reshape(tuple(sp_ext) + (ss,) * r)
+    perm = sum(([i, r + i] for i in range(r)), [])
+    xp = xb.transpose(perm).reshape(tuple(e * ss for e in sp_ext))
+    return xp[tuple(slice(0, s) for s in shape)]
+
+
 def _blur(y: jnp.ndarray, blur_dim: int = _BLUR_DIM) -> jnp.ndarray:
     """Dense bilateral-grid blur: 2·dim·y + Σ_axes (shift+1 + shift−1)."""
     out = 2.0 * blur_dim * y
@@ -91,7 +119,8 @@ def _blur(y: jnp.ndarray, blur_dim: int = _BLUR_DIM) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("sigma_spatial", "sigma_luma", "lam", "A_diag_min",
-                     "cg_tol", "cg_maxiter", "bistoch_iters", "blur_dim"),
+                     "cg_tol", "cg_maxiter", "bistoch_iters", "blur_dim",
+                     "pixel_impl"),
 )
 def bilateral_solve_gray(
     target: jnp.ndarray,  # (*spatial) float — 2D or 3D
@@ -105,27 +134,104 @@ def bilateral_solve_gray(
     cg_maxiter: int = 25,
     bistoch_iters: int = 10,
     blur_dim: int = _BLUR_DIM,
+    pixel_impl: str = "scan",
 ) -> jnp.ndarray:
-    """Solve the bilateral-regularized least squares for one channel."""
+    """Solve the bilateral-regularized least squares for one channel.
+
+    ``pixel_impl`` picks the pixel↔lattice transfer lowering:
+
+    - ``'scan'`` (default): the lattice is REGULAR, so splat is a
+      blockwise value-weighted luma histogram and slice a blockwise
+      luma-bin select — both lowered as a ``lax.scan`` over the L luma
+      bins with (3, cells, ss**r)-blocked elementwise work. No scatter,
+      no gather, no giant one-hot temp; measured 9.1 → 1.8 ms per splat
+      and 7.8 → 1.5 ms per slice on a 96³ crop (v5e), which is what
+      makes the vmapped interactive BLS frame cheap.
+    - ``'scatter'``: the direct scatter-add/gather form (the reference's
+      sparse formulation transcribed to the dense lattice). Kept as the
+      independent parity witness — tests assert the two agree.
+
+    Both are algebraically identical to the reference's hashed-sparse
+    solver restricted to occupied vertices (bilateral_solver3d.py:37-154);
+    fp32 summation order differs between impls.
+    """
     shape = target.shape
-    vid, ext = _vertex_ids(shape, luma, sigma_spatial, sigma_luma)
-    vid_flat = vid.reshape(-1)
+    ext = _grid_extents(shape, sigma_spatial, sigma_luma)
     nverts = int(np.prod(ext))
-
-    def splat(x_pix):
-        return jnp.zeros((nverts,), jnp.float32).at[vid_flat].add(x_pix)
-
-    def slice_(y_vert):
-        return y_vert[vid_flat]
-
-    def blur_flat(y):
-        return _blur(y.reshape(ext), blur_dim).reshape(-1)
+    sp_ext, L = ext[:-1], ext[-1]
+    ss = sigma_spatial
+    n_cells = int(np.prod(sp_ext))
 
     t = target.reshape(-1).astype(jnp.float32)
     c = confidence.reshape(-1).astype(jnp.float32)
 
+    if pixel_impl == "scan":
+        # luma bin per pixel, blocked by spatial cell; padded block slots
+        # get bin −1 so they match no l ∈ [0, L) and contribute nothing
+        il_b = _blocked_pixel_view(
+            (luma.astype(jnp.float32) / sigma_luma).astype(jnp.int32),
+            ss, sp_ext, fill=-1,
+        )
+        # materialize the blocked view ONCE: without the barrier XLA
+        # fuses the pad+transpose into the bin scans' bodies and re-runs
+        # it every iteration (traced: 2×~2.2 ms × L bins — 10× the rest
+        # of the solve at a 128³ crop)
+        il_b = jax.lax.optimization_barrier(il_b)
+
+        def splat3(t, c):
+            """splat(1), splat(c), splat(t·c) in one bin scan → (3, nverts)."""
+            vals = jnp.stack([
+                _blocked_pixel_view(jnp.ones(shape, jnp.float32), ss, sp_ext),
+                _blocked_pixel_view(c.reshape(shape), ss, sp_ext),
+                _blocked_pixel_view((t * c).reshape(shape), ss, sp_ext),
+            ])  # (3, cells, ss**r)
+            vals = jax.lax.optimization_barrier(vals)  # see il_b above
+
+            def bin_body(_, l):
+                # multiply+reduce, NOT einsum/dot_general: a dot inside
+                # the scan makes XLA re-copy the loop-invariant blocked
+                # operands into the dot's layout EVERY iteration (traced:
+                # 2×~2.2 ms × L copies, 10× the whole solve). The
+                # elementwise form fuses with the mask compute.
+                mask = (il_b == l).astype(jnp.float32)
+                return _, (vals * mask[None]).sum(-1)
+
+            _, per_bin = jax.lax.scan(bin_body, None, jnp.arange(L))
+            # (L, 3, cells) → (3, cells, L) → flat vertex order
+            # (spatial-major, luma last — the _vertex_ids layout)
+            return per_bin.transpose(1, 2, 0).reshape(3, nverts)
+
+        def slice_(y_vert):
+            yl = y_vert.reshape(n_cells, L)
+
+            def bin_body(acc, l):
+                sel = jax.lax.dynamic_slice_in_dim(yl, l, 1, axis=1)
+                return jnp.where(il_b == l, sel, acc), None
+
+            out, _ = jax.lax.scan(
+                bin_body, jnp.zeros_like(il_b, jnp.float32), jnp.arange(L)
+            )
+            return _unblock_pixel_view(out, ss, sp_ext, shape).reshape(-1)
+
+        m, w_splat, b = splat3(t, c)
+    else:
+        vid, _ = _vertex_ids(shape, luma, sigma_spatial, sigma_luma)
+        vid_flat = vid.reshape(-1)
+
+        def splat(x_pix):
+            return jnp.zeros((nverts,), jnp.float32).at[vid_flat].add(x_pix)
+
+        def slice_(y_vert):
+            return y_vert[vid_flat]
+
+        m = splat(jnp.ones_like(t))
+        w_splat = splat(c)
+        b = splat(t * c)
+
+    def blur_flat(y):
+        return _blur(y.reshape(ext), blur_dim).reshape(-1)
+
     # bistochastization (reference :107-118)
-    m = splat(jnp.ones_like(t))
     occupied = m > 0
     n = occupied.astype(jnp.float32)
 
@@ -136,8 +242,6 @@ def bilateral_solve_gray(
     n = jax.lax.fori_loop(0, bistoch_iters, bi_body, n)
     m = n * blur_flat(n)
 
-    w_splat = splat(c)
-    b = splat(t * c)
     y0 = jnp.where(w_splat > 0, b / jnp.where(w_splat > 0, w_splat, 1.0), 0.0)
 
     def A(y):

@@ -154,6 +154,7 @@ def _refine_batched_core(
     sigma_luma: int,
     lam: float,
     cg_maxiter: int,
+    pixel_impl: str = "scan",
 ) -> jnp.ndarray:
     """vmapped crop → sobel confidence → bilateral solve → write-back →
     uint8 quantize for all classes; trace-level body shared by the classic
@@ -181,7 +182,7 @@ def _refine_batched_core(
         solved = bilateral_solve_gray(
             cs, cv.astype(jnp.float32), cf,
             sigma_spatial=sigma_spatial, sigma_luma=sigma_luma, lam=lam,
-            cg_maxiter=cg_maxiter,
+            cg_maxiter=cg_maxiter, pixel_impl=pixel_impl,
         )
         out = jax.lax.dynamic_update_slice(sim, solved, start)
         # clamp keeps all-zero (empty) classes at 0 instead of NaN
@@ -195,6 +196,7 @@ _refine_batched_device = jax.jit(
     _refine_batched_core,
     static_argnames=(
         "crop_shape", "sigma_spatial", "sigma_luma", "lam", "cg_maxiter",
+        "pixel_impl",
     ),
 )
 
