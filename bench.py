@@ -407,7 +407,9 @@ def main():
 
                     import threading
 
-                    n_frames = 4
+                    # enough frames for a stable median: the loop's cost
+                    # is fs-watch + npy IO + tunnel D2H, all jittery
+                    n_frames = int(os.environ.get("BENCH_SERVE_FRAMES", 9))
                     t = threading.Thread(
                         target=watch_directory,
                         args=(tdp, sess),
