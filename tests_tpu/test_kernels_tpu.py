@@ -120,3 +120,30 @@ def test_connected_components_on_chip(rng):
     assert len({a for a, _ in pairs}) == n
     assert len({b for _, b in pairs}) == n
     assert len(pairs) == n
+
+
+def test_bilateral_scan_matches_scatter_on_chip():
+    """The scan pixel_impl's blocked views and bin scans take different
+    layout/fusion paths under the real TPU compiler than under the CPU
+    interpreter — assert the two impls still agree on hardware."""
+    from vittf_tpu.ops.bilateral import bilateral_solve_gray
+
+    rng = np.random.default_rng(11)
+    shape = (40, 36, 28)
+    z, y, x = np.mgrid[: shape[0], : shape[1], : shape[2]]
+    luma = np.clip(
+        120 + 80 * ((z - 20) ** 2 + (y - 18) ** 2 + (x - 14) ** 2 < 120)
+        + rng.normal(0, 6, shape),
+        0, 255,
+    ).astype(np.float32)
+    t = (luma > 150).astype(np.float32)
+    c = rng.random(shape).astype(np.float32) * 0.5 + 0.4
+    kw = dict(sigma_spatial=7, sigma_luma=5)
+    a = np.asarray(bilateral_solve_gray(
+        jnp.asarray(t), jnp.asarray(luma), jnp.asarray(c),
+        pixel_impl="scan", **kw))
+    b = np.asarray(bilateral_solve_gray(
+        jnp.asarray(t), jnp.asarray(luma), jnp.asarray(c),
+        pixel_impl="scatter", **kw))
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
