@@ -165,3 +165,37 @@ def test_filter_similarity_largest_island(rng):
     assert out[1, 1, 1] == 200
     assert out[7, 7, 7] == 0  # smaller island removed
     assert out[4, 4, 4] == 0  # below threshold removed
+
+
+def test_refine_batched_class_chunking_matches_unchunked(monkeypatch):
+    """A tiny VITTF_BLS_CHUNK_VOXELS forces the chunked path; results must
+    match the single-dispatch batch (same per-class math; ±1 uint8 step
+    for batch-size-dependent fusion differences)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from vittf_tpu.pipeline.refine import refine_similarities_batched
+
+    rng = np.random.default_rng(8)
+    sim_shape = (16, 16, 16)
+    vol = rng.random((32, 32, 32)).astype(np.float32)
+    sims = np.zeros((5,) + sim_shape, np.float32)
+    for c in range(5):
+        sims[c, 2:12, 3:13, 2:10] = rng.random((10, 10, 8), np.float32)
+    full = np.asarray(
+        refine_similarities_batched(jnp.asarray(sims), vol, sim_shape)
+    )
+    monkeypatch.setenv("VITTF_BLS_CHUNK_VOXELS", "1")  # chunk = 1 class
+    chunked = np.asarray(
+        refine_similarities_batched(jnp.asarray(sims), vol, sim_shape)
+    )
+    assert chunked.shape == full.shape and chunked.dtype == full.dtype
+    assert np.abs(chunked.astype(np.int16) - full.astype(np.int16)).max() <= 1
+    # chunk = 2 classes (budget = 2 crops) → 5 classes pad to 6, tail
+    # chunk carries one zero class
+    monkeypatch.setenv("VITTF_BLS_CHUNK_VOXELS", "8192")
+    chunked2 = np.asarray(
+        refine_similarities_batched(jnp.asarray(sims), vol, sim_shape)
+    )
+    assert np.abs(chunked2.astype(np.int16) - full.astype(np.int16)).max() <= 1

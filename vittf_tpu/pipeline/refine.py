@@ -366,11 +366,37 @@ def refine_similarities_batched(
     starts = np.minimum(mi, np.asarray(sim_shape) - ext)
     starts[~nonempty] = 0
     starts = starts.astype(np.int32)
-
-    return _refine_batched_device(
-        sims, vol_u8, jnp.asarray(starts), tuple(int(e) for e in ext),
+    ext = tuple(int(e) for e in ext)
+    solve_kw = dict(
         sigma_spatial=int(gp["sigma_spatial"]),
         sigma_luma=int(gp["sigma_luma"]),
         lam=float(bs.get("lam", 256.0)),
         cg_maxiter=int(bs.get("cg_maxiter", 25)),
     )
+
+    # class chunking: the vmapped solve holds ~dozens of crop-sized fp32
+    # temps per class (blocked views, sobel, CG state); past ~300³ crops
+    # a full class batch stops compiling on a 16 GB chip. Interactive
+    # geometry (≤2³·10⁶-voxel crops) always stays one dispatch; huge
+    # offline refinements (1024³ artifacts → 512³ sim grids,
+    # predict_ntf.py:92) loop equal-size chunks through ONE compiled
+    # graph (zero-padded tail classes solve corner crops of zeros).
+    budget = int(os.environ.get("VITTF_BLS_CHUNK_VOXELS", 70_000_000))
+    chunk = max(1, budget // max(1, int(np.prod(ext))))
+    if chunk >= C:
+        return _refine_batched_device(
+            sims, vol_u8, jnp.asarray(starts), ext, **solve_kw
+        )
+    n_pad = -C % chunk
+    sims_p = jnp.concatenate(
+        [sims, jnp.zeros((n_pad,) + tuple(sim_shape), sims.dtype)]
+    ) if n_pad else sims
+    starts_p = np.concatenate([starts, np.zeros((n_pad, 3), np.int32)])
+    outs = [
+        _refine_batched_device(
+            sims_p[i : i + chunk], vol_u8,
+            jnp.asarray(starts_p[i : i + chunk]), ext, **solve_kw
+        )
+        for i in range(0, C + n_pad, chunk)
+    ]
+    return jnp.concatenate(outs)[:C]
