@@ -199,3 +199,20 @@ def test_refine_batched_class_chunking_matches_unchunked(monkeypatch):
         refine_similarities_batched(jnp.asarray(sims), vol, sim_shape)
     )
     assert np.abs(chunked2.astype(np.int16) - full.astype(np.int16)).max() <= 1
+
+
+def test_largest_component_native_matches_device(rng):
+    """impl='native' (C++ union-find) and impl='device' (label-prop loop)
+    agree on 3D masks; 'auto' picks one of them and agrees too."""
+    from vittf_tpu.native import available
+
+    if not available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    mask = rng.random((24, 20, 16)) > 0.7
+    dev = np.asarray(largest_component(jnp.asarray(mask), impl="device"))
+    nat = np.asarray(largest_component(jnp.asarray(mask), impl="native"))
+    auto = np.asarray(largest_component(jnp.asarray(mask)))
+    np.testing.assert_array_equal(dev, nat)
+    np.testing.assert_array_equal(auto, nat)

@@ -74,12 +74,42 @@ def component_sizes(labels: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def largest_component(mask: jnp.ndarray, max_iter: int = 64) -> jnp.ndarray:
+def largest_component(
+    mask: jnp.ndarray, max_iter: int = 64, impl: str = "auto"
+) -> jnp.ndarray:
     """Keep only the largest connected component of ``mask``.
 
     Equivalent of the reference's cc_torch largest-island filter
     (tests/test_connected_components.py:26-53).
+
+    ``impl``:
+    - ``'native'``: the C++ two-pass union-find (one D2H of the uint8
+      mask). Measured: 0.05 s at 128³ / 5.7 s at 512³ vs 2 s / a TPU
+      worker crash for the device loop — host union-find is simply the
+      right algorithm for arbitrary-shape components.
+    - ``'device'``: min-label propagation + pointer jumping in a bounded
+      while_loop. Stays correct to 256³ (~20 s) but its 16.7M-index
+      gathers are watchdog-fatal at 512³; meant for small masks and for
+      traced (inside-jit) callers that can't leave the device.
+    - ``'auto'``: native for concrete 3D masks when the library is
+      built; device otherwise (2D masks, tracers, no toolchain).
     """
+    if impl == "auto":
+        concrete = not isinstance(mask, jax.core.Tracer)
+        if concrete and mask.ndim == 3 and _native_available():
+            impl = "native"
+        else:
+            impl = "device"
+    if impl == "native":
+        from vittf_tpu.native import cc3d_largest
+
+        # bool D2H hangs on the axon relay — fetch as uint8
+        host = np.asarray(
+            jnp.asarray(mask).astype(jnp.uint8)
+            if isinstance(mask, jnp.ndarray)
+            else np.asarray(mask, np.uint8)
+        )
+        return jnp.asarray(cc3d_largest(host).astype(np.uint8)) > 0
     labels = connected_components(mask, max_iter=max_iter)
     sizes = component_sizes(labels)
     sizes = sizes.at[0].set(0)  # background doesn't compete
@@ -87,16 +117,26 @@ def largest_component(mask: jnp.ndarray, max_iter: int = 64) -> jnp.ndarray:
     return labels == best
 
 
+def _native_available() -> bool:
+    try:
+        from vittf_tpu.native import available
+
+        return available()
+    except Exception:
+        return False
+
+
 def largest_component_2d(mask: jnp.ndarray, max_iter: int = 64) -> jnp.ndarray:
     """Largest 4-connected component of a 2D mask (used by the 2D solver's
     island post-filter, reference bilateral_solver.py:199-207)."""
-    return largest_component(mask, max_iter=max_iter)
+    return largest_component(mask, max_iter=max_iter, impl="device")
 
 
 def filter_similarity_largest_island(
-    sim_u8: jnp.ndarray, threshold: int = 69, max_iter: int = 64
+    sim_u8: jnp.ndarray, threshold: int = 69, max_iter: int = 64,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Threshold a uint8 similarity map, keep the largest island, zero the
     rest (semantics of tests/test_connected_components.py:26-61)."""
-    keep = largest_component(sim_u8 > threshold, max_iter=max_iter)
+    keep = largest_component(sim_u8 > threshold, max_iter=max_iter, impl=impl)
     return jnp.where(keep, sim_u8, 0).astype(jnp.uint8)
