@@ -265,8 +265,13 @@ def make_bls_reference(
 ) -> jnp.ndarray:
     """Half-res uint8 reference for the bilateral solve (predict_ntf.py:80-87
     downsample + quantize). Frame-invariant — interactive sessions compute
-    it once and pass it to ``refine_similarities_batched``."""
-    vol = resize_linear(make_5d(jnp.asarray(volume)), sim_shape).reshape(sim_shape)
+    it once and pass it to ``refine_similarities_batched``. Accepts host
+    arrays of any supported dtype: the upload stays compact (uint8 CTs
+    ship 1 byte/voxel) and the fp32 cast happens on device, transiently."""
+    vol = jnp.asarray(volume)
+    if vol.dtype != jnp.float32:
+        vol = vol.astype(jnp.float32)
+    vol = resize_linear(make_5d(vol), sim_shape).reshape(sim_shape)
     return jnp.trunc(255.0 * norm_minmax(vol)).astype(jnp.uint8)
 
 

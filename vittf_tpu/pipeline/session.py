@@ -47,7 +47,11 @@ class InteractiveSession:
         island_threshold: int = 69,
         dirty_tracking: bool = True,
     ):
-        self.volume = jnp.asarray(np.asarray(volume, np.float32))
+        # the volume stays a HOST array: serving only needs its shape
+        # (annotation rel-coords) and the one-time half-res BLS reference
+        # below — pinning a 1024³ fp32 volume would cost 4.3 GB of HBM
+        # for nothing (and a 4× larger session-open upload for uint8 CTs)
+        self.volume = np.asarray(volume)
         self.features = jnp.asarray(np.asarray(features, np.float32))
         self.bilateral_solver = bilateral_solver
         self.impl = impl
