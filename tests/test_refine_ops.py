@@ -216,3 +216,15 @@ def test_largest_component_native_matches_device(rng):
     auto = np.asarray(largest_component(jnp.asarray(mask)))
     np.testing.assert_array_equal(dev, nat)
     np.testing.assert_array_equal(auto, nat)
+
+
+def test_largest_component_2d_native_matches_device(rng):
+    """2D masks ride the native path as depth-1 volumes (6-conn == 4-conn)."""
+    from vittf_tpu.native import available
+
+    if not available():
+        pytest.skip("native library unavailable")
+    mask = rng.random((30, 26)) > 0.7
+    dev = np.asarray(largest_component(jnp.asarray(mask), impl="device"))
+    nat = np.asarray(largest_component(jnp.asarray(mask), impl="native"))
+    np.testing.assert_array_equal(dev, nat)

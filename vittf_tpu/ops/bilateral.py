@@ -179,12 +179,15 @@ def bilateral_solve_gray(
         il_b = jax.lax.optimization_barrier(il_b)
 
         def splat3(t, c):
-            """splat(1), splat(c), splat(t·c) in one bin scan → (3, nverts)."""
+            """splat(1), splat(c), splat(t·c) in one bin scan → (3, nverts).
+
+            splat(1) is just the per-(cell, bin) pixel count — the mask's
+            own popcount — so only the two value planes are materialized
+            and scanned."""
             vals = jnp.stack([
-                _blocked_pixel_view(jnp.ones(shape, jnp.float32), ss, sp_ext),
                 _blocked_pixel_view(c.reshape(shape), ss, sp_ext),
                 _blocked_pixel_view((t * c).reshape(shape), ss, sp_ext),
-            ])  # (3, cells, ss**r)
+            ])  # (2, cells, ss**r)
             vals = jax.lax.optimization_barrier(vals)  # see il_b above
 
             def bin_body(_, l):
@@ -194,7 +197,9 @@ def bilateral_solve_gray(
                 # 2×~2.2 ms × L copies, 10× the whole solve). The
                 # elementwise form fuses with the mask compute.
                 mask = (il_b == l).astype(jnp.float32)
-                return _, (vals * mask[None]).sum(-1)
+                return _, jnp.concatenate(
+                    [mask.sum(-1)[None], (vals * mask[None]).sum(-1)]
+                )
 
             _, per_bin = jax.lax.scan(bin_body, None, jnp.arange(L))
             # (L, 3, cells) → (3, cells, L) → flat vertex order

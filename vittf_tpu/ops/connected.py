@@ -96,7 +96,7 @@ def largest_component(
     """
     if impl == "auto":
         concrete = not isinstance(mask, jax.core.Tracer)
-        if concrete and mask.ndim == 3 and _native_available():
+        if concrete and mask.ndim in (2, 3) and _native_available():
             impl = "native"
         else:
             impl = "device"
@@ -109,6 +109,8 @@ def largest_component(
             if isinstance(mask, jnp.ndarray)
             else np.asarray(mask, np.uint8)
         )
+        if host.ndim == 2:  # 6-conn on a depth-1 volume == 4-conn in 2D
+            return jnp.asarray(cc3d_largest(host[None]).astype(np.uint8)[0]) > 0
         return jnp.asarray(cc3d_largest(host).astype(np.uint8)) > 0
     labels = connected_components(mask, max_iter=max_iter)
     sizes = component_sizes(labels)
@@ -128,8 +130,10 @@ def _native_available() -> bool:
 
 def largest_component_2d(mask: jnp.ndarray, max_iter: int = 64) -> jnp.ndarray:
     """Largest 4-connected component of a 2D mask (used by the 2D solver's
-    island post-filter, reference bilateral_solver.py:199-207)."""
-    return largest_component(mask, max_iter=max_iter, impl="device")
+    island post-filter, reference bilateral_solver.py:199-207). 'auto'
+    maps 2D masks onto the native path as depth-1 volumes; the tracer
+    check inside keeps jit-embedded callers on the device loop."""
+    return largest_component(mask, max_iter=max_iter)
 
 
 def filter_similarity_largest_island(
