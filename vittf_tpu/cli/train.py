@@ -29,6 +29,13 @@ def load_train_data(path: str | Path):
         labels = list(data["labels"])
     else:
         data = np.load(path, allow_pickle=True)[()]
+        if not isinstance(data, dict):
+            raise SystemExit(
+                f"--data {path} holds a bare array; the trainer contract "
+                "(reference old/train.py) is a dict with 'vol' (W,H,D), "
+                "'mask' (W,H,D int labels) and 'labels' (names). Build one "
+                "with np.save(path, {'vol': v, 'mask': m, 'labels': names})."
+            )
         vol = np.asarray(data["vol"], np.float32)
         mask = np.asarray(data["mask"]).astype(np.int32)
         labels = list(data["labels"])

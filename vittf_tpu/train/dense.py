@@ -188,6 +188,12 @@ class DenseContrastiveTrainer:
             for i, n in enumerate(labels)
             if n != cfg.background_class and self.class_indices[n].shape[0] >= 2
         ]
+        if len(labels) < 2:
+            raise ValueError(
+                "dense trainer needs >= 2 label names (mask value i maps to "
+                "labels[i]; include the background name as class 0 — the "
+                "reference old/train.py data contract)"
+            )
         key = jax.random.PRNGKey(seed)
         self.params = init_feature_extractor(model_cfg, key)
         nf = model_cfg.n_linear[-1]
