@@ -197,6 +197,71 @@ def test_sample_background_border():
     assert m[0, 0, 0] and not m[6, 6, 6]
 
 
+@pytest.mark.parametrize("kernel", ["rbf", "linear"])
+def test_svm_device_predict_matches_sklearn(rng, kernel):
+    """Device OvO decision + vote == libsvm's predict (predict_svm_rf.py:209).
+
+    Decision values are validated in float64 against sklearn's ovo
+    decision_function (proves the (S, n_pairs) weight construction), then
+    the device path must agree with clf.predict except where the smallest
+    |decision| is within fp32 noise of a vote flip.
+    """
+    from sklearn.svm import SVC
+
+    from vittf_tpu.pipeline.baselines import (
+        _build_ovo_weights,
+        svm_predict_device,
+    )
+
+    k, F = 4, 11
+    centers = rng.normal(size=(k, F)) * 2.0
+    train_X = np.concatenate(
+        [centers[i] + rng.normal(size=(60, F)) for i in range(k)]
+    ).astype(np.float32)
+    train_y = np.repeat(np.arange(k, dtype=np.uint8), 60)
+    clf = SVC(kernel=kernel, decision_function_shape="ovo").fit(train_X, train_y)
+
+    X = np.concatenate(
+        [centers[rng.integers(0, k, 3000)] + rng.normal(size=(3000, F)) * 1.5]
+    ).astype(np.float32)
+
+    # weight-construction exactness (float64, no device in the loop)
+    W, b, pair_i, pair_j = _build_ovo_weights(clf)
+    if kernel == "rbf":
+        d2 = ((X[:, None, :] - clf.support_vectors_[None]) ** 2).sum(-1)
+        K = np.exp(-clf._gamma * d2)
+    else:
+        K = X @ clf.support_vectors_.T
+    D = K.astype(np.float64) @ W.astype(np.float64) + b
+    np.testing.assert_allclose(
+        D, clf.decision_function(X), rtol=1e-4, atol=1e-5
+    )
+
+    got = svm_predict_device(clf, X, chunk=1024)
+    want = clf.predict(X)
+    disagree = got != want
+    # fp32 vs float64 may flip votes only on near-zero decisions
+    assert disagree.mean() < 5e-3
+    if disagree.any():
+        assert np.abs(D[disagree]).min(axis=-1).max() < 1e-3
+
+
+def test_run_svm_rf_device_predict(rng):
+    lab = _ball_labels(16, r2=20)
+    vol = (lab == 1) * 0.8 + (lab == 2) * 0.3 + rng.random(lab.shape) * 0.05
+    ann = {
+        "ntf1": sample_uniform(lab == 1, 40, rng=rng),
+        "ntf2": sample_uniform(lab == 2, 30, rng=rng),
+        "background": sample_uniform(lab == 0, 40, rng=rng),
+    }
+    res = run_svm_rf(
+        vol.astype(np.float32), ann, labels=lab_remap(lab),
+        run_rf=False, device_predict=True,
+    )
+    assert res["svm"]["pred"].shape == lab.shape
+    assert res["svm"]["metrics"]["mAcc"] > 0.8
+
+
 # ---------- query ops ----------
 
 def test_take_most_dissimilar_matches_torch(rng):

@@ -33,6 +33,11 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--no-rf", action="store_true")
     p.add_argument("--rf-estimators", type=int, default=1024)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--device-predict", action="store_true",
+        help="evaluate the dense SVM prediction on device (TPU OvO decision"
+             " function; rbf/linear kernels) instead of sklearn on CPU",
+    )
     return p
 
 
@@ -107,6 +112,7 @@ def main(argv=None) -> int:
         svm_kernel=args.svm_kernel,
         run_svm=not args.no_svm, run_rf=not args.no_rf,
         rf_estimators=args.rf_estimators, exclude_bg=args.exclude_bg,
+        device_predict=args.device_predict,
     )
     for name, res in results.items():
         np.save(d / f"{name}_pred{suffix}.npy", res["pred"])

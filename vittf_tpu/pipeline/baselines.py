@@ -19,7 +19,9 @@ as evaluation baselines). Semantics preserved:
 from __future__ import annotations
 
 import time
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -99,15 +101,130 @@ def sample_background_border(vol_shape, border: int = 4) -> np.ndarray:
 
 
 def fit_predict_classifier(
-    clf, train_X: np.ndarray, train_y: np.ndarray, features_flat: np.ndarray
+    clf,
+    train_X: np.ndarray,
+    train_y: np.ndarray,
+    features_flat: np.ndarray,
+    device_predict: bool = False,
 ):
-    """Fit + dense predict with the reference's timing capture."""
+    """Fit + dense predict with the reference's timing capture.
+
+    ``device_predict`` routes the dense SVC prediction through the TPU
+    decision-function evaluation (``svm_predict_device``); fit stays
+    sklearn/libsvm (seconds — the reference's pathology is the dense
+    predict, 14393 s/volume in metrics/svm_8096both.json, not the fit).
+    """
     t0 = time.time()
     clf.fit(train_X, train_y)
     t1 = time.time()
-    pred = clf.predict(features_flat)
+    if device_predict:
+        pred = svm_predict_device(clf, features_flat)
+        pred = np.asarray(jax.block_until_ready(pred))
+    else:
+        pred = clf.predict(features_flat)
     t2 = time.time()
     return pred, {"fit_time": t1 - t0, "predict_time": t2 - t1}
+
+
+def _build_ovo_weights(clf) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """libsvm one-vs-one decision as a single (S, n_pairs) matrix.
+
+    For the pair (i, j), i<j, the decision is a linear functional of the
+    kernel row K(x, ·): support vectors of class i contribute their
+    ``dual_coef_[j-1]`` entries, those of class j their ``dual_coef_[i]``
+    entries (sklearn's compressed OvO layout), plus ``intercept_``.
+    Returns (W, b, pair_i, pair_j) with pairs in libsvm/intercept_ order
+    (0,1), (0,2), …, (1,2), …
+    """
+    k = len(clf.classes_)
+    n_sv = clf.support_vectors_.shape[0]
+    starts = np.concatenate([[0], np.cumsum(clf.n_support_)])
+    n_pairs = k * (k - 1) // 2
+    W = np.zeros((n_sv, n_pairs), np.float32)
+    pair_i = np.empty(n_pairs, np.int32)
+    pair_j = np.empty(n_pairs, np.int32)
+    p = 0
+    for i in range(k):
+        for j in range(i + 1, k):
+            W[starts[i] : starts[i + 1], p] = clf.dual_coef_[
+                j - 1, starts[i] : starts[i + 1]
+            ]
+            W[starts[j] : starts[j + 1], p] = clf.dual_coef_[
+                i, starts[j] : starts[j + 1]
+            ]
+            pair_i[p], pair_j[p] = i, j
+            p += 1
+    return W, clf.intercept_.astype(np.float32), pair_i, pair_j
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_classes", "chunk"))
+def _svm_votes_device(x, sv, W, b, pair_i, pair_j, gamma, *, kernel, n_classes, chunk):
+    """One dispatch: kernel tile → OvO decisions → votes → argmax.
+
+    ``x`` is pre-padded to a multiple of ``chunk``; ``lax.map`` keeps the
+    working set at one (chunk, S) kernel tile so arbitrary volumes fit HBM.
+    Both matmuls run at HIGHEST precision — RBF distances lose catastrophic
+    relative precision in bf16 and this op is MXU-saturated regardless.
+    """
+    sv_sq = (sv * sv).sum(-1)
+
+    def chunk_fn(xc):
+        xs = jnp.dot(xc, sv.T, precision=jax.lax.Precision.HIGHEST)
+        if kernel == "rbf":
+            d2 = (xc * xc).sum(-1)[:, None] - 2.0 * xs + sv_sq[None, :]
+            K = jnp.exp(-gamma * jnp.maximum(d2, 0.0))
+        else:  # linear
+            K = xs
+        D = jnp.dot(K, W, precision=jax.lax.Precision.HIGHEST) + b[None, :]
+        winners = jnp.where(D > 0, pair_i[None, :], pair_j[None, :])
+        votes = (winners[:, :, None] == jnp.arange(n_classes)[None, None, :]).sum(1)
+        # libsvm breaks vote ties toward the lowest class index; argmax matches
+        return jnp.argmax(votes, axis=-1).astype(jnp.uint8)
+
+    return jax.lax.map(chunk_fn, x.reshape(-1, chunk, x.shape[-1]))
+
+
+def svm_predict_device(
+    clf, features_flat: np.ndarray, chunk: int = 1 << 16
+) -> np.ndarray:
+    """Dense SVC prediction on device — the reference's 14393 s CPU predict
+    (predict_svm_rf.py:209-212, metrics/svm_8096both.json /predict_time) as
+    one jitted TPU dispatch over (chunk, n_SV) kernel tiles.
+
+    Reproduces libsvm's one-vs-one vote exactly (up to fp32 vs float64 in
+    decision values; vote flips require a decision within ~1e-5 of zero).
+    Supports kernel='rbf' (reference default) and 'linear'.
+    """
+    kernel = clf.kernel
+    if kernel not in ("rbf", "linear"):
+        raise ValueError(f"device predict supports rbf/linear, got {kernel}")
+    W, b, pair_i, pair_j = _build_ovo_weights(clf)
+    n = features_flat.shape[0]
+    # keep the (chunk, n_SV) fp32 kernel tile under ~1 GB of HBM
+    tile_cap = (1 << 30) // max(1, 4 * clf.support_vectors_.shape[0])
+    chunk = max(1024, min(chunk, tile_cap, max(1, n)))
+    n_pad = (-n) % chunk
+    if isinstance(features_flat, jnp.ndarray):
+        x = features_flat.astype(jnp.float32)  # stays device-resident
+        if n_pad:
+            x = jnp.pad(x, ((0, n_pad), (0, 0)))
+    else:
+        x = np.ascontiguousarray(features_flat, np.float32)
+        if n_pad:
+            x = np.concatenate([x, np.zeros((n_pad, x.shape[1]), np.float32)])
+    idx = _svm_votes_device(
+        jnp.asarray(x),
+        jnp.asarray(clf.support_vectors_, jnp.float32),
+        jnp.asarray(W),
+        jnp.asarray(b),
+        jnp.asarray(pair_i),
+        jnp.asarray(pair_j),
+        jnp.float32(getattr(clf, "_gamma", 0.0)),
+        kernel=kernel,
+        n_classes=len(clf.classes_),
+        chunk=chunk,
+    )
+    return np.asarray(clf.classes_)[np.asarray(idx).reshape(-1)[:n]]
 
 
 def run_svm_rf(
@@ -120,6 +237,7 @@ def run_svm_rf(
     run_rf: bool = True,
     rf_estimators: int = 1024,
     exclude_bg: bool = False,
+    device_predict: bool = False,
 ) -> dict[str, dict]:
     """Train + densely evaluate the SVM/RF baselines.
 
@@ -163,7 +281,12 @@ def run_svm_rf(
             ("rf", RandomForestClassifier(n_estimators=rf_estimators, max_features=None))
         )
     for name, clf in jobs:
-        pred, times = fit_predict_classifier(clf, train_X, train_y, features_flat)
+        on_device = (
+            device_predict and name == "svm" and svm_kernel in ("rbf", "linear")
+        )
+        pred, times = fit_predict_classifier(
+            clf, train_X, train_y, features_flat, device_predict=on_device
+        )
         if exclude_bg:
             predv = np.zeros(int(np.prod(feat_size)), np.uint8)
             predv[non_bg] = pred
