@@ -85,6 +85,45 @@ def test_synthetic_volumes_semantics():
     assert label[16, 16, 16] == 1 and label[0, 0, 0] == 0
 
 
+def test_hard_phantom_semantics():
+    """The hard phantom must actually be hard: nested/touching structures,
+    graded overlapping intensities, partial-volume boundaries."""
+    from vittf_tpu.core.synthetic import make_hard_phantom
+
+    vol, lab = make_hard_phantom(64, seed=0)
+    assert vol.dtype == np.float32 and lab.dtype == np.uint8
+    assert set(np.unique(lab)) == {0, 1, 2, 3, 4, 5}
+    # deterministic per seed, different across seeds (bias-field phases)
+    v2, l2 = make_hard_phantom(64, seed=0)
+    np.testing.assert_array_equal(vol, v2)
+    v3, _ = make_hard_phantom(64, seed=1)
+    assert not np.array_equal(vol, v3)
+    # kidneys TOUCH the liver: a liver voxel has a kidney 6-neighbor
+    liver, kidney = lab == 2, lab == 3
+    touch = False
+    for ax in range(3):
+        a = np.swapaxes(liver, 0, ax)
+        b = np.swapaxes(kidney, 0, ax)
+        touch |= bool((a[1:] & b[:-1]).any() or (a[:-1] & b[1:]).any())
+    assert touch
+    # lesion nested inside the liver region (all 6-neighbors liver/lesion)
+    lesion = lab == 5
+    assert lesion.any()
+    grown = lesion.copy()
+    for ax in range(3):
+        g = np.swapaxes(grown, 0, ax)
+        g[1:] |= np.swapaxes(lesion, 0, ax)[:-1]
+        g[:-1] |= np.swapaxes(lesion, 0, ax)[1:]
+    assert set(np.unique(lab[grown])) <= {2, 5}
+    # graded contrast: liver/kidney/lesion means within 0.1 of each other
+    means = [float(vol[lab == c].mean()) for c in (2, 3, 5)]
+    assert max(means) - min(means) < 0.1
+    # partial volume: boundary voxels take intermediate intensities —
+    # the volume is not a step function (many distinct in-between values)
+    inner = vol[(vol > 0.2) & (vol < 0.4)]
+    assert inner.size > 100
+
+
 def test_write_synthetic_volumes(tmp_path):
     written = write_synthetic_volumes(tmp_path, size=16)
     assert len(written) == 8

@@ -63,6 +63,57 @@ def test_sample_surface_on_shell(rng):
     assert center_dist2.min() > 4  # not deep inside
 
 
+def test_samplers_device_equals_host(rng):
+    """The device rank-select path must reproduce the host argwhere path
+    bit-for-bit: argwhere lists voxels in C order, the device path selects
+    the same C-order ranks with the same rng draws."""
+    lab = _ball_labels()
+    for mask in (lab == 1, lab == 2):
+        for fn, kw in (
+            (sample_uniform, {}),
+            (sample_surface, {"dist_from_surface": 2}),
+            (sample_both, {}),
+        ):
+            host = fn(mask, 30, rng=np.random.default_rng(7), impl="host", **kw)
+            dev = fn(mask, 30, rng=np.random.default_rng(7), impl="device", **kw)
+            np.testing.assert_array_equal(host, dev)
+            assert dev.dtype == host.dtype
+
+
+def test_annotations_from_labels_device_equals_host():
+    lab = _ball_labels()
+    for mode in ("uniform", "surface", "both"):
+        host = annotations_from_labels(
+            lab, 20, mode=mode, rng=np.random.default_rng(3), impl="host"
+        )
+        dev = annotations_from_labels(
+            lab, 20, mode=mode, rng=np.random.default_rng(3), impl="device"
+        )
+        assert set(host) == set(dev)
+        for k in host:
+            np.testing.assert_array_equal(host[k], dev[k])
+
+
+def test_sample_uniform_thinning_device_equals_host(monkeypatch):
+    """The >THIN_LIMIT stride-2 thinning rule maps thinned rank r to
+    original rank r·2^t — exercised on a small mask by lowering the limit."""
+    import vittf_tpu.pipeline.annotations as ann_mod
+
+    monkeypatch.setattr(ann_mod, "THIN_LIMIT", 500)
+    lab = _ball_labels(size=32, r2=120)  # ball with >2000 voxels: 3 thinnings
+    mask = lab == 1
+    assert int(mask.sum()) > 2000
+    host = ann_mod.sample_uniform(
+        mask, 25, thin_to_reasonable=True,
+        rng=np.random.default_rng(11), impl="host",
+    )
+    dev = ann_mod.sample_uniform(
+        mask, 25, thin_to_reasonable=True,
+        rng=np.random.default_rng(11), impl="device",
+    )
+    np.testing.assert_array_equal(host, dev)
+
+
 def test_sample_both_and_from_labels(rng):
     lab = _ball_labels()
     pts = sample_both(lab == 1, 30, rng=rng)

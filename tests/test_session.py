@@ -241,6 +241,50 @@ def test_watch_directory_serves_updates(session, rng, tmp_path):
     assert (tmp_path / "predictions.npy").exists()
 
 
+def test_watch_directory_skips_identical_rewrites(session, rng, tmp_path):
+    """An mtime-only rewrite of byte-identical annotations must NOT count
+    as an update: the watcher hashes content before recomputing. The
+    watcher here is asked for 2 updates; with mtime-based detection it
+    would serve the duplicate and never see the final frame."""
+    ann_a = {"first": rng.integers(0, 16, (5, 3))}
+    ann_b = {"second": rng.integers(0, 16, (6, 3))}
+
+    def writer():
+        time.sleep(0.2)
+        np.save(tmp_path / "annotations.npy", ann_a)
+        time.sleep(0.3)
+        np.save(tmp_path / "annotations.npy", ann_a)  # identical content
+        time.sleep(0.3)
+        np.save(tmp_path / "annotations.npy", ann_b)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    served = watch_directory(
+        tmp_path, session, poll_interval=0.05, max_updates=2
+    )
+    t.join()
+    assert served == 2
+    sims = np.load(tmp_path / "similarities.npy", allow_pickle=True)[()]
+    assert set(sims) == {"second"}
+
+
+def test_watch_directory_poll_fallback(session, rng, tmp_path):
+    """use_inotify=False must serve through the plain poll path."""
+
+    def writer():
+        time.sleep(0.2)
+        np.save(tmp_path / "annotations.npy", {"c": rng.integers(0, 16, (4, 3))})
+
+    t = threading.Thread(target=writer)
+    t.start()
+    served = watch_directory(
+        tmp_path, session, poll_interval=0.05, max_updates=1,
+        use_inotify=False,
+    )
+    t.join()
+    assert served == 1
+
+
 def test_watch_directory_bls_class_changes(rng, tmp_path):
     """Full interactive stack: BLS refinement on, class count changing
     between updates (add a class, drop to one) — the watcher must answer

@@ -152,6 +152,129 @@ def make_multiclass_volume(
     return vol, labels
 
 
+def make_hard_phantom(
+    size: int = 128,
+    noise: float = 0.05,
+    seed: int = 0,
+    bias: float = 0.12,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Anatomy-like HARD phantom: the regime the easy SDF phantom can't emulate.
+
+    The easy ``make_multiclass_volume`` gives disjoint organs with
+    well-separated intensity bands — every committed quality delta
+    inherits that easiness (VERDICT r4 weak #6). This phantom builds the
+    failure modes real CT segmentation has (the reference's 0.981 IoU
+    operating regime, plot_performance.py:64, create_synthetic_volumes.py
+    is the seed):
+
+    - **nested / touching structures**: liver-like ellipsoid inside a
+      soft-tissue body; two kidney-like spheres TOUCHING the liver
+      surface; a lesion nested INSIDE the liver
+    - **graded contrast**: body/liver/kidney/lesion intensities all live
+      within ~0.1 of each other, and body+liver intensities ramp
+      spatially, so no global threshold separates any pair
+    - **partial-volume boundaries**: intensities blend across ~1.5-voxel
+      SDF-bands instead of hard steps
+    - **smooth multiplicative bias field**: low-frequency cosine product
+      with seed-random phases (MRI shading / CT cupping analog)
+    - **low-dose noise**: additive uniform noise like the easy phantom
+
+        class 1  body (soft tissue)  I ≈ 0.40 + 0.04·y
+        class 2  liver               I ≈ 0.55 + 0.06·x̂ (ramp over extent)
+        class 3  kidneys (touching)  I ≈ 0.50
+        class 4  bone (spine rod)    I ≈ 0.95  (the one easy class)
+        class 5  lesion (in liver)   I ≈ 0.47
+        class 0  air background      I ≈ 0.05
+
+    Returns (volume float32 (size³), labels uint8 (size³)). Evaluated in
+    y-slabs so no more than a few (chunk, size, size) fp32 temps exist at
+    once (1024³-safe, like ``make_multiclass_volume``).
+    """
+    ls = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    vol = np.empty((size, size, size), np.float32)
+    labels = np.zeros((size, size, size), np.uint8)
+    rng = np.random.default_rng(seed)
+    ph = rng.uniform(0.0, 2.0 * np.pi, 6).astype(np.float32)
+    # partial-volume half-width: ~1.5 voxels of SDF distance
+    w = np.float32(1.5 * 2.0 / size)
+
+    chunk = max(1, min(size, 2**26 // max(size * size, 1)))
+    for i0 in range(0, size, chunk):
+        i1 = min(i0 + chunk, size)
+        # 'xy' meshgrid convention (create_synthetic_volumes.py:55):
+        # y = ls[i] (axis 0), x = ls[j] (axis 1), z = ls[k] (axis 2)
+        y = ls[i0:i1].reshape(-1, 1, 1)
+        x = ls.reshape(1, -1, 1)
+        z = ls.reshape(1, 1, -1)
+
+        def ellipsoid_sdf(c, r):
+            q = np.sqrt(
+                ((x - c[0]) / r[0]) ** 2
+                + ((y - c[1]) / r[1]) ** 2
+                + ((z - c[2]) / r[2]) ** 2
+            )
+            return (q - 1.0) * np.float32(min(r))
+
+        def sphere_sdf(c, r):
+            return (
+                np.sqrt(
+                    (x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2
+                )
+                - np.float32(r)
+            )
+
+        # structures painted back-to-front; later structures overwrite
+        structures = [
+            # (sdf, intensity, label)
+            (ellipsoid_sdf((0.0, 0.0, 0.0), (0.80, 0.68, 0.88)),
+             0.40 + 0.04 * y, 1),
+            (ellipsoid_sdf((-0.22, -0.08, -0.05), (0.40, 0.30, 0.36)),
+             0.55 + 0.06 * (x + 0.22) / 0.40, 2),
+            # kidneys touch the liver surface (y- and z-extremes)
+            (np.minimum(sphere_sdf((-0.22, 0.35, -0.05), 0.15),
+                        sphere_sdf((-0.22, -0.08, 0.44), 0.15)),
+             np.float32(0.50), 3),
+            # spine rod: radial cylinder SDF capped along y
+            (np.maximum(
+                np.sqrt((x - 0.42) ** 2 + (z - 0.0) ** 2) - np.float32(0.10),
+                np.abs(y) - np.float32(0.70),
+            ), np.float32(0.95), 4),
+            # lesion nested inside the liver, ~0.07 below liver intensity
+            (sphere_sdf((-0.30, -0.12, -0.10), 0.09), np.float32(0.47), 5),
+        ]
+        slab = np.full((i1 - i0, size, size), 0.05, np.float32)
+        lab_slab = np.zeros((i1 - i0, size, size), np.uint8)
+        for sdf, intensity, lab in structures:
+            alpha = np.clip(0.5 - sdf / (2.0 * w), 0.0, 1.0)
+            slab = slab * (1.0 - alpha) + intensity * alpha
+            lab_slab[sdf < 0] = lab
+        if bias > 0.0:
+            b = (
+                1.0
+                + bias * np.cos(1.3 * x + ph[0]) * np.cos(1.1 * y + ph[1])
+                * np.cos(0.9 * z + ph[2])
+                + 0.5 * bias * np.cos(2.1 * x + ph[3]) * np.cos(1.7 * z + ph[4])
+            )
+            slab = slab * b.astype(np.float32)
+        vol[i0:i1] = slab
+        labels[i0:i1] = lab_slab
+    if noise > 0.0:
+        for i0 in range(0, size, chunk):
+            i1 = min(i0 + chunk, size)
+            np.clip(
+                vol[i0:i1]
+                + rng.random((i1 - i0, size, size)).astype(np.float32) * noise,
+                0.0, 1.0, out=vol[i0:i1],
+            )
+    return vol, labels
+
+
+PHANTOMS = {
+    "easy": make_multiclass_volume,
+    "hard": make_hard_phantom,
+}
+
+
 def write_synthetic_volumes(
     outdir: str | Path, size: int = 128, noise: float = 0.0, use_pt: bool = False
 ) -> list[Path]:

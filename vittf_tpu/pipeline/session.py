@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from vittf_tpu.core.io import (
-    load_annotations,
     load_features,
     save_similarities,
 )
@@ -328,6 +327,54 @@ class InteractiveSession:
         )
 
 
+class _INotify:
+    """Minimal ctypes inotify watch on one directory (Linux only).
+
+    The serve loop used to sleep-poll ``annotations.npy`` — a 0.25 s poll
+    adds ~125 ms median latency to every frame for free. inotify wakes the
+    loop the moment the writer closes (or renames in) the file; callers
+    fall back to polling where inotify is unavailable."""
+
+    # linux/inotify.h: writes complete on CLOSE_WRITE; atomic writers
+    # rename a temp file in (MOVED_TO); CREATE covers fresh directories
+    _MASK = 0x0008 | 0x0080 | 0x0100  # IN_CLOSE_WRITE | IN_MOVED_TO | IN_CREATE
+
+    def __init__(self, directory: Path):
+        import ctypes
+        import ctypes.util
+
+        libc_name = ctypes.util.find_library("c") or "libc.so.6"
+        self._libc = ctypes.CDLL(libc_name, use_errno=True)
+        self.fd = self._libc.inotify_init1(os.O_NONBLOCK)
+        if self.fd < 0:
+            raise OSError(ctypes.get_errno(), "inotify_init1 failed")
+        wd = self._libc.inotify_add_watch(
+            self.fd, os.fsencode(str(directory)), self._MASK
+        )
+        if wd < 0:
+            err = ctypes.get_errno()
+            os.close(self.fd)
+            raise OSError(err, "inotify_add_watch failed")
+
+    def wait(self, timeout: float) -> bool:
+        """Block until a directory event or ``timeout`` seconds; drains the
+        event queue (the caller re-checks file content either way)."""
+        import select
+
+        r, _, _ = select.select([self.fd], [], [], timeout)
+        if not r:
+            return False
+        try:
+            while os.read(self.fd, 65536):
+                pass
+        except BlockingIOError:
+            pass
+        return True
+
+    def close(self) -> None:
+        os.close(self.fd)
+
+
 def watch_directory(
     data_dir: str | Path,
     session: InteractiveSession,
@@ -335,46 +382,76 @@ def watch_directory(
     max_updates: int | None = None,
     on_update=None,
     verbose: bool = True,
+    use_inotify: bool = True,
 ) -> int:
     """Serve the artifact contract: on every ``annotations.npy`` change,
     recompute similarities and write ``similarities.npy``/``predictions.npy``.
 
+    Change detection is event-driven (inotify) where available, with
+    ``poll_interval`` as the fallback poll cadence (and the event-wait
+    timeout). A change means the file's CONTENT changed: the bytes are
+    hashed before parsing, so mtime-only rewrites of identical annotations
+    are skipped without recomputing anything (VERDICT r4 next #4).
+
     Returns the number of updates served (runs until interrupted when
     ``max_updates`` is None).
     """
+    import hashlib
+    import io
+
     data_dir = Path(data_dir)
     ann_path = data_dir / "annotations.npy"
-    last_mtime = 0.0
+    notifier = None
+    if use_inotify:
+        try:
+            notifier = _INotify(data_dir)
+        except Exception:
+            notifier = None  # non-Linux / exotic fs: poll fallback
+    last_digest: bytes | None = None
     served = 0
-    while max_updates is None or served < max_updates:
-        try:
-            mtime = ann_path.stat().st_mtime
-        except FileNotFoundError:
-            time.sleep(poll_interval)
-            continue
-        if mtime <= last_mtime:
-            time.sleep(poll_interval)
-            continue
-        last_mtime = mtime
-        t0 = time.perf_counter()
-        try:
-            annotations = load_annotations(ann_path)
-        except Exception as e:  # partially-written file: retry next poll
-            if verbose:
-                print(f"annotations read failed ({e}); retrying")
-            last_mtime = 0.0
-            time.sleep(poll_interval)
-            continue
-        sims = session.update_annotations(annotations)
-        jax.block_until_ready(sims)
-        session.export(data_dir)
-        served += 1
-        dt = time.perf_counter() - t0
-        if verbose:
-            print(
-                f"update {served}: {len(annotations)} classes in "
-                f"{dt*1e3:.0f}ms"
+    try:
+        while max_updates is None or served < max_updates:
+            try:
+                raw = ann_path.read_bytes()
+            except (FileNotFoundError, OSError):
+                raw = None
+            digest = (
+                hashlib.blake2b(raw, digest_size=16).digest()
+                if raw is not None
+                else None
             )
-        if on_update:
-            on_update(served, dt)
+            if raw is None or digest == last_digest:
+                if notifier is not None:
+                    notifier.wait(poll_interval)
+                else:
+                    time.sleep(poll_interval)
+                continue
+            t0 = time.perf_counter()
+            try:
+                data = np.load(io.BytesIO(raw), allow_pickle=True)[()]
+                annotations = {k: np.asarray(v) for k, v in data.items()}
+            except Exception as e:  # partially-written file: retry
+                if verbose:
+                    print(f"annotations read failed ({e}); retrying")
+                if notifier is not None:
+                    notifier.wait(poll_interval)
+                else:
+                    time.sleep(poll_interval)
+                continue
+            last_digest = digest
+            sims = session.update_annotations(annotations)
+            jax.block_until_ready(sims)
+            session.export(data_dir)
+            served += 1
+            dt = time.perf_counter() - t0
+            if verbose:
+                print(
+                    f"update {served}: {len(annotations)} classes in "
+                    f"{dt*1e3:.0f}ms"
+                )
+            if on_update:
+                on_update(served, dt)
+    finally:
+        if notifier is not None:
+            notifier.close()
     return served
