@@ -99,10 +99,19 @@ def bench_extract(vol, params, cfg, ex_cfg, label, flops, mesh=None):
     nchips = mesh.shape["data"] if mesh is not None else 1
     tflops = flops / t / 1e12
     mfu = flops / t / (TPU_V5E_BF16_PEAK * nchips)
-    log(
-        f"  {label}: {t:.3f}s, {tflops:.1f} TFLOP/s analytic "
-        f"({mfu * 100:.1f}% of {nchips}-chip v5e bf16 peak)"
-    )
+    if tflops < 0.1:
+        # smoke-scale shapes (the CI mesh smoke's tiny volumes) round a
+        # "0.0 TFLOP/s" into the record — misleading as a perf figure, so
+        # report GFLOP/s and mark MFU n/a (VERDICT r4 weak #5)
+        log(
+            f"  {label}: {t:.3f}s, {flops / t / 1e9:.2f} GFLOP/s analytic "
+            f"(MFU n/a at smoke scale)"
+        )
+    else:
+        log(
+            f"  {label}: {t:.3f}s, {tflops:.1f} TFLOP/s analytic "
+            f"({mfu * 100:.1f}% of {nchips}-chip v5e bf16 peak)"
+        )
     return feats, t, mfu
 
 

@@ -61,6 +61,43 @@ def test_ntf_predict_pred_at_volume_resolution():
     assert pred.max() <= len(ann)
 
 
+def test_refinement_experiment_runs_and_reports():
+    """Tiny-scale smoke of the refinement-uplift A/B: four cells, each a
+    valid IoU table on identical features + annotations."""
+    from vittf_tpu.pipeline.quality import refinement_quality_experiment
+
+    r = refinement_quality_experiment(
+        32, fos=16, phantom="easy", seed=0, n_annotations=32,
+        train_iterations=30,
+        oracle_kw={"model_features": (4, 8), "model_linear": (8,),
+                   "train_size": 32},
+    )
+    for cell in ("base", "bls", "island", "bls_island"):
+        assert 0.0 <= r[cell]["mIoU_fg"] <= 1.0
+        assert set(r[cell]["iou"]) == {"c1", "c2", "c3"}
+    for k in ("bls_uplift", "island_uplift", "stack_uplift"):
+        assert -1.0 <= r[k] <= 1.0
+    assert r["phantom"] == "easy"
+
+
+def test_hard_phantom_through_quality_harness():
+    """The hard phantom threads through the fast-mode experiment."""
+    import jax as _jax
+
+    cfg = ViTConfig(patch_size=4, embed_dim=32, depth=2, num_heads=4, img_size=32)
+    params = init_vit_params(cfg, _jax.random.PRNGKey(0))
+    ex_cfg = ExtractConfig(
+        feature_output_size=8, slice_along="all", batch_size=8, attn_impl="xla"
+    )
+    r = fastmode_quality_experiment(
+        32, params, cfg, ex_cfg, n_annotations=24, seed=0, phantom="hard"
+    )
+    assert r["phantom"] == "hard"
+    assert len(r["classes"]) == 5  # body/liver/kidney/bone/lesion
+    for mode in ("full", "fast"):
+        assert 0.0 <= r[mode]["mIoU_fg"] <= 1.0
+
+
 def test_grid_ceiling_non_divisible_size():
     """size % fos != 0 pools the covered corner instead of crashing."""
     from vittf_tpu.pipeline.quality import grid_ceiling_miou

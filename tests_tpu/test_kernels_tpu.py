@@ -147,3 +147,31 @@ def test_bilateral_scan_matches_scatter_on_chip():
         pixel_impl="scatter", **kw))
     assert np.isfinite(a).all()
     np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+
+
+def test_bilateral_pallas_matches_scan_on_chip():
+    """The one-HBM-pass Mosaic splat/slice kernels (pixel_impl='pallas' —
+    the TPU 'auto' default) are algebraically the same per-(cell, bin)
+    reduction as the scan form; assert they agree on hardware, including
+    at non-multiple shapes that exercise the cell padding."""
+    from vittf_tpu.ops.bilateral import bilateral_solve_gray
+
+    rng = np.random.default_rng(13)
+    for shape in ((40, 36, 28), (33, 47, 21)):
+        z, y, x = np.mgrid[: shape[0], : shape[1], : shape[2]]
+        luma = np.clip(
+            120 + 80 * ((z - 16) ** 2 + (y - 18) ** 2 + (x - 10) ** 2 < 120)
+            + rng.normal(0, 6, shape),
+            0, 255,
+        ).astype(np.float32)
+        t = (luma > 150).astype(np.float32)
+        c = rng.random(shape).astype(np.float32) * 0.5 + 0.4
+        kw = dict(sigma_spatial=7, sigma_luma=5)
+        a = np.asarray(bilateral_solve_gray(
+            jnp.asarray(t), jnp.asarray(luma), jnp.asarray(c),
+            pixel_impl="scan", **kw))
+        b = np.asarray(bilateral_solve_gray(
+            jnp.asarray(t), jnp.asarray(luma), jnp.asarray(c),
+            pixel_impl="pallas", **kw))
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)

@@ -101,6 +101,115 @@ def _unblock_pixel_view(xb: jnp.ndarray, ss: int, sp_ext, shape) -> jnp.ndarray:
     return xp[tuple(slice(0, s) for s in shape)]
 
 
+def _pallas_cells_per_block(B: int) -> int:
+    """Cells per kernel program, bounded so the (CB, B) int32 + 2×f32
+    blocks stay well under VMEM (≤ ~6 MB of inputs per program)."""
+    return max(8, min(512, (1 << 19) // max(B, 1) * 8))
+
+
+def _splat_pallas(il_b: jnp.ndarray, vals: jnp.ndarray, L: int) -> jnp.ndarray:
+    """One-pass splat: (n_cells, B) luma bins + (2, n_cells, B) values →
+    (3, n_cells, L) [count, splat(c), splat(t·c)] per (cell, bin).
+
+    The lax.scan form re-reads every pixel once per luma bin (L ≈ 52
+    passes over the crop — 450 ms at a 512³ crop); here each pixel block
+    is read from HBM once and the L-bin histogram loop runs on
+    VMEM-resident data. Algebraically identical to the scan/scatter
+    impls (same per-(cell, bin) reduction)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_cells, B = il_b.shape
+    CB = _pallas_cells_per_block(B)
+    # ragged grid, NO jnp.pad copies: at a 512³ crop the padded copies of
+    # il_b + vals are ~1.7 GB of pure transient traffic, enough to OOM the
+    # multi-class chunked refine. Mosaic masks the last block's
+    # out-of-bounds stores, and its undefined loaded rows only feed
+    # dropped outputs (every row's reduction is row-local).
+    n_pad = -(-n_cells // CB) * CB
+
+    def kernel(il_ref, vals_ref, out_ref):
+        il = il_ref[:]
+        c = vals_ref[0]
+        tc = vals_ref[1]
+        # Mosaic has no dynamic_update_slice; write bin l's column through
+        # a lane-iota select instead
+        lane = jax.lax.broadcasted_iota(jnp.int32, (3, CB, L), 2)
+
+        def body(l, acc):
+            mask = (il == l).astype(jnp.float32)
+            row = jnp.stack(
+                [mask.sum(-1), (c * mask).sum(-1), (tc * mask).sum(-1)]
+            )  # (3, CB)
+            return jnp.where(lane == l, row[:, :, None], acc)
+
+        out_ref[:] = jax.lax.fori_loop(
+            0, L, body, jnp.zeros((3, CB, L), jnp.float32)
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, n_cells, L), jnp.float32),
+        grid=(n_pad // CB,),
+        in_specs=[
+            pl.BlockSpec((CB, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (2, CB, B), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, CB, L), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+    )(il_b, vals)
+    return out
+
+
+def _slice_pallas(il_b: jnp.ndarray, yl: jnp.ndarray, L: int) -> jnp.ndarray:
+    """One-pass slice: out[cell, b] = yl[cell, il_b[cell, b]].
+
+    Same one-HBM-pass argument as ``_splat_pallas``; padded slots
+    (bin −1) match no l and come back 0."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_cells, B = il_b.shape
+    CB = _pallas_cells_per_block(B)
+    # ragged grid, no pad copies — see _splat_pallas. This runs once per
+    # CG iteration, so the pad copy would also multiply by cg_maxiter.
+    n_pad = -(-n_cells // CB) * CB
+
+    def kernel(il_ref, y_ref, out_ref):
+        il = il_ref[:]
+        y = y_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (CB, L), 1)
+
+        def body(l, acc):
+            # bin l's column via a masked row-reduce (no dynamic_slice in
+            # Mosaic): exactly one lane matches, so the sum IS the select
+            sel = jnp.sum(
+                jnp.where(lane == l, y, 0.0), axis=1, keepdims=True
+            )
+            return jnp.where(il == l, sel, acc)
+
+        out_ref[:] = jax.lax.fori_loop(
+            0, L, body, jnp.zeros((CB, B), jnp.float32)
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_cells, B), jnp.float32),
+        grid=(n_pad // CB,),
+        in_specs=[
+            pl.BlockSpec((CB, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (CB, B), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )(il_b, yl)
+    return out
+
+
 def _blur(y: jnp.ndarray, blur_dim: int = _BLUR_DIM) -> jnp.ndarray:
     """Dense bilateral-grid blur: 2·dim·y + Σ_axes (shift+1 + shift−1)."""
     out = 2.0 * blur_dim * y
@@ -134,24 +243,30 @@ def bilateral_solve_gray(
     cg_maxiter: int = 25,
     bistoch_iters: int = 10,
     blur_dim: int = _BLUR_DIM,
-    pixel_impl: str = "scan",
+    pixel_impl: str = "auto",
 ) -> jnp.ndarray:
     """Solve the bilateral-regularized least squares for one channel.
 
     ``pixel_impl`` picks the pixel↔lattice transfer lowering:
 
-    - ``'scan'`` (default): the lattice is REGULAR, so splat is a
-      blockwise value-weighted luma histogram and slice a blockwise
-      luma-bin select — both lowered as a ``lax.scan`` over the L luma
-      bins with (3, cells, ss**r)-blocked elementwise work. No scatter,
-      no gather, no giant one-hot temp; measured 9.1 → 1.8 ms per splat
-      and 7.8 → 1.5 ms per slice on a 96³ crop (v5e), which is what
-      makes the vmapped interactive BLS frame cheap.
+    - ``'auto'`` (default): ``'pallas'`` on TPU (for the block geometries
+      the kernels handle), ``'scan'`` elsewhere.
+    - ``'pallas'``: one-HBM-pass splat/slice kernels — each pixel block is
+      loaded into VMEM once and the L-bin histogram/select loop runs
+      on-chip. The scan form pays L full passes over the crop (~450 ms
+      splat at a 512³ crop, L=52); this is the lowering that makes
+      headline-scale (512³ sim grid) refinement interactive.
+    - ``'scan'``: the lattice is REGULAR, so splat is a blockwise
+      value-weighted luma histogram and slice a blockwise luma-bin
+      select — both lowered as a ``lax.scan`` over the L luma bins with
+      (3, cells, ss**r)-blocked elementwise work. No scatter, no gather,
+      no giant one-hot temp; measured 9.1 → 1.8 ms per splat and 7.8 →
+      1.5 ms per slice on a 96³ crop (v5e). CPU/parity default.
     - ``'scatter'``: the direct scatter-add/gather form (the reference's
       sparse formulation transcribed to the dense lattice). Kept as the
-      independent parity witness — tests assert the two agree.
+      independent parity witness — tests assert the impls agree.
 
-    Both are algebraically identical to the reference's hashed-sparse
+    All are algebraically identical to the reference's hashed-sparse
     solver restricted to occupied vertices (bilateral_solver3d.py:37-154);
     fp32 summation order differs between impls.
     """
@@ -165,7 +280,30 @@ def bilateral_solve_gray(
     t = target.reshape(-1).astype(jnp.float32)
     c = confidence.reshape(-1).astype(jnp.float32)
 
-    if pixel_impl == "scan":
+    if pixel_impl == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        pixel_impl = (
+            "pallas"
+            if on_tpu and ss ** len(shape) <= 2048 and L <= 512
+            else "scan"
+        )
+
+    if pixel_impl == "pallas":
+        il_b = _blocked_pixel_view(
+            (luma.astype(jnp.float32) / sigma_luma).astype(jnp.int32),
+            ss, sp_ext, fill=-1,
+        )
+        vals = jnp.stack([
+            _blocked_pixel_view(c.reshape(shape), ss, sp_ext),
+            _blocked_pixel_view((t * c).reshape(shape), ss, sp_ext),
+        ])
+        m, w_splat, b = _splat_pallas(il_b, vals, L).reshape(3, nverts)
+
+        def slice_(y_vert):
+            out = _slice_pallas(il_b, y_vert.reshape(n_cells, L), L)
+            return _unblock_pixel_view(out, ss, sp_ext, shape).reshape(-1)
+
+    elif pixel_impl == "scan":
         # luma bin per pixel, blocked by spatial cell; padded block slots
         # get bin −1 so they match no l ∈ [0, L) and contribute nothing
         il_b = _blocked_pixel_view(

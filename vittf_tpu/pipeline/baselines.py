@@ -157,6 +157,28 @@ def _build_ovo_weights(clf) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndar
     return W, clf.intercept_.astype(np.float32), pair_i, pair_j
 
 
+def _resolve_gamma(clf) -> float:
+    """RBF gamma from the fitted classifier, failing loudly.
+
+    libsvm's effective gamma lives in the private ``_gamma``; if sklearn
+    ever renames it, fall back to the public ``gamma`` semantics
+    ('auto' = 1/n_features, numeric = itself). 'scale' depends on the
+    training data's variance, which sklearn does not retain — raise
+    instead of silently predicting with exp(0)=1 kernels (a constant
+    single-class collapse)."""
+    g = getattr(clf, "_gamma", None)
+    if g is not None:
+        return float(g)
+    if isinstance(clf.gamma, (int, float)):
+        return float(clf.gamma)
+    if clf.gamma == "auto":
+        return 1.0 / clf.n_features_in_
+    raise AttributeError(
+        "cannot resolve the fitted RBF gamma: clf._gamma is missing and "
+        f"gamma={clf.gamma!r} depends on training-data statistics"
+    )
+
+
 @partial(jax.jit, static_argnames=("kernel", "n_classes", "chunk"))
 def _svm_votes_device(x, sv, W, b, pair_i, pair_j, gamma, *, kernel, n_classes, chunk):
     """One dispatch: kernel tile → OvO decisions → votes → argmax.
@@ -200,31 +222,46 @@ def svm_predict_device(
         raise ValueError(f"device predict supports rbf/linear, got {kernel}")
     W, b, pair_i, pair_j = _build_ovo_weights(clf)
     n = features_flat.shape[0]
-    # keep the (chunk, n_SV) fp32 kernel tile under ~1 GB of HBM
+    # keep the (chunk, n_SV) fp32 kernel tile under ~1 GB of HBM, and
+    # round DOWN to a power of two so distinct volume sizes reuse ONE
+    # compiled kernel (padding absorbs the remainder) instead of
+    # recompiling per input size
     tile_cap = (1 << 30) // max(1, 4 * clf.support_vectors_.shape[0])
-    chunk = max(1024, min(chunk, tile_cap, max(1, n)))
-    n_pad = (-n) % chunk
-    if isinstance(features_flat, jnp.ndarray):
-        x = features_flat.astype(jnp.float32)  # stays device-resident
-        if n_pad:
-            x = jnp.pad(x, ((0, n_pad), (0, 0)))
-    else:
-        x = np.ascontiguousarray(features_flat, np.float32)
-        if n_pad:
-            x = np.concatenate([x, np.zeros((n_pad, x.shape[1]), np.float32)])
-    idx = _svm_votes_device(
-        jnp.asarray(x),
+    chunk = max(1024, min(chunk, tile_cap))
+    chunk = 1 << (chunk.bit_length() - 1)
+    common = (
         jnp.asarray(clf.support_vectors_, jnp.float32),
         jnp.asarray(W),
         jnp.asarray(b),
         jnp.asarray(pair_i),
         jnp.asarray(pair_j),
-        jnp.float32(getattr(clf, "_gamma", 0.0)),
-        kernel=kernel,
-        n_classes=len(clf.classes_),
-        chunk=chunk,
+        jnp.float32(_resolve_gamma(clf) if kernel == "rbf" else 0.0),
     )
-    return np.asarray(clf.classes_)[np.asarray(idx).reshape(-1)[:n]]
+    kw = dict(kernel=kernel, n_classes=len(clf.classes_), chunk=chunk)
+
+    if isinstance(features_flat, jnp.ndarray):
+        x = features_flat.astype(jnp.float32)  # stays device-resident
+        n_pad = (-n) % chunk
+        if n_pad:
+            x = jnp.pad(x, ((0, n_pad), (0, 0)))
+        idx = _svm_votes_device(x, *common, **kw)
+        return np.asarray(clf.classes_)[np.asarray(idx).reshape(-1)[:n]]
+
+    # host input: stream chunk-sized slices to device instead of
+    # materializing the full padded (N, F) fp32 matrix in HBM (≈6 GB at
+    # 512³ — the docstring's "fits HBM" claim then holds for the INPUT,
+    # not just the kernel tile)
+    x_host = np.ascontiguousarray(features_flat, np.float32)
+    out = np.empty(n, np.uint8)
+    for i in range(0, n, chunk):
+        xc = x_host[i : i + chunk]
+        if xc.shape[0] < chunk:
+            xc = np.concatenate(
+                [xc, np.zeros((chunk - xc.shape[0], xc.shape[1]), np.float32)]
+            )
+        idx = _svm_votes_device(jnp.asarray(xc), *common, **kw)
+        out[i : i + chunk] = np.asarray(idx).reshape(-1)[: min(chunk, n - i)]
+    return np.asarray(clf.classes_)[out]
 
 
 def run_svm_rf(

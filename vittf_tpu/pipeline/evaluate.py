@@ -87,9 +87,19 @@ def metrics_from_confusion(cm: jnp.ndarray) -> dict[str, jnp.ndarray]:
 def segmentation_metrics(
     y_true, y_pred, label_names: list[str], extra: dict | None = None
 ) -> dict:
-    """Metrics JSON in the reference's layout (predict_ntf.py:233-246)."""
-    y_true = jnp.asarray(np.asarray(y_true).reshape(-1))
-    y_pred = jnp.asarray(np.asarray(y_pred).reshape(-1))
+    """Metrics JSON in the reference's layout (predict_ntf.py:233-246).
+
+    Device arrays stay on device (the confusion scan runs there anyway);
+    forcing ``np.asarray`` on a 1024³ prediction would add a 1 GB
+    device→host fetch per scored cell."""
+
+    def flat(x):
+        if isinstance(x, jax.Array):
+            return x.reshape(-1)
+        return jnp.asarray(np.asarray(x).reshape(-1))
+
+    y_true = flat(y_true)
+    y_pred = flat(y_pred)
     C = len(label_names)
     cm = confusion_matrix(y_true, y_pred, C)
     m = jax.tree.map(np.asarray, metrics_from_confusion(cm))

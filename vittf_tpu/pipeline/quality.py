@@ -68,7 +68,9 @@ def ntf_predict(
         else [0.25] * len(sims)
     )
     pred = fuse_predictions(sims, thresholds)
-    pred = np.asarray(upscale_prediction(pred, vol.shape))
+    # stays a DEVICE array: scoring runs on device too, and fetching a
+    # 1024³ prediction costs a 1 GB D2H per cell on slow transports
+    pred = upscale_prediction(pred, vol.shape)
     return pred, {"extract_s": t_extract, "similarity_s": t_sim}
 
 
@@ -101,17 +103,20 @@ def fastmode_quality_experiment(
     base_cfg: ExtractConfig,
     n_annotations: int = 256,
     seed: int = 0,
+    phantom: str = "easy",
 ) -> dict:
     """Run full-sweep vs fast-mode NTF on the multi-class phantom.
 
     Returns {mode: {"mIoU", "iou", "extract_s", "similarity_s",
     "mvoxel_s"}} plus the shared experiment metadata. Identical
     annotations are used for both modes, so the IoU delta isolates the
-    extraction-mode effect.
+    extraction-mode effect. ``phantom`` picks the fixture family
+    (core/synthetic.py PHANTOMS: 'easy' disjoint bands, 'hard'
+    anatomy-like).
     """
-    from vittf_tpu.core.synthetic import make_multiclass_volume
+    from vittf_tpu.core.synthetic import PHANTOMS
 
-    vol, labels = make_multiclass_volume(size, seed=seed)
+    vol, labels = PHANTOMS[phantom](size, seed=seed)
     rng = np.random.default_rng(seed)
     annotations = annotations_from_labels(labels, n_annotations, "both", rng=rng)
     # explicit background class LAST (the reference's user-study sessions
@@ -126,15 +131,17 @@ def fastmode_quality_experiment(
     out: dict = {
         "size": size,
         "n_annotations": n_annotations,
+        "phantom": phantom,
         "classes": [k for k in annotations if k != "bg"],
     }
+    labels_j = jnp.asarray(labels)  # one upload; reused by every score
     for mode, cfg in [
         ("full", replace(base_cfg, slice_subsample=False)),
         ("fast", replace(base_cfg, slice_subsample=True)),
     ]:
         pred, times = ntf_predict(vol, params, model_cfg, cfg, annotations)
-        pred = np.where(pred == n_fg + 1, 0, pred)  # bg class → label 0
-        m = segmentation_metrics(labels, pred, names)
+        pred = jnp.where(pred == n_fg + 1, 0, pred)  # bg class → label 0
+        m = segmentation_metrics(labels_j, pred, names)
         fg_iou = {k: v for k, v in m["iou"].items() if k != "background"}
         total_s = times["extract_s"] + times["similarity_s"]
         out[mode] = {
@@ -155,8 +162,8 @@ def _predict_and_score(vol, feats, annotations, labels, names, n_fg):
     """similarity → fuse → upscale → metrics for a given feature volume."""
     sims = compute_similarities(jnp.asarray(vol, jnp.float32), feats, annotations)
     pred = fuse_predictions(sims, [0.25] * len(sims))
-    pred = np.asarray(upscale_prediction(pred, vol.shape))
-    pred = np.where(pred == n_fg + 1, 0, pred)  # bg class → label 0
+    pred = upscale_prediction(pred, vol.shape)  # device-resident
+    pred = jnp.where(pred == n_fg + 1, 0, pred)  # bg class → label 0
     m = segmentation_metrics(labels, pred, names)
     fg_iou = {k: v for k, v in m["iou"].items() if k != "background"}
     return {
@@ -185,11 +192,69 @@ def grid_ceiling_miou(labels: np.ndarray, fos: int) -> dict:
     n_cls = int(labels.max()) + 1
     counts = np.stack([(lab == c).sum(axis=(1, 3, 5)) for c in range(n_cls)])
     grid_pred = counts.argmax(axis=0).astype(np.uint8)
-    up = np.asarray(upscale_prediction(grid_pred, labels.shape))
+    up = upscale_prediction(jnp.asarray(grid_pred), labels.shape)
     names = ["background"] + [f"c{i}" for i in range(1, n_cls)]
     m = segmentation_metrics(labels, up, names)
     fg = {k: v for k, v in m["iou"].items() if k != "background"}
     return {"mIoU_fg": float(np.mean(list(fg.values()))), "iou": fg}
+
+
+def _train_cnn_oracle_features(
+    vol,
+    labels,
+    names: list[str],
+    size: int,
+    seed: int,
+    train_iterations: int,
+    model_features: tuple,
+    model_linear: tuple,
+    pos_encoding: bool,
+    learning_rate: float,
+    samples_per_iteration: int,
+    temperature: float,
+    train_size: int | None,
+    phantom: str = "easy",
+):
+    """Train the dense-contrastive CNN oracle and return its unit-norm
+    full-resolution (F, Z, Y, X) feature volume for the EVAL volume, plus
+    the last train record. Shared by the structured A/B and the
+    refinement-uplift experiment."""
+    from vittf_tpu.core.synthetic import PHANTOMS
+    from vittf_tpu.models.cnn3d import FeatureExtractorConfig
+    from vittf_tpu.train.dense import (
+        DenseContrastiveConfig,
+        DenseContrastiveTrainer,
+    )
+
+    n_classes = int(np.asarray(labels).max())
+    tsize = train_size or size
+    if tsize != size:
+        tvol, tlabels = PHANTOMS[phantom](tsize, seed=seed)
+        assert int(tlabels.max()) == n_classes
+    else:
+        tvol, tlabels = vol, labels
+
+    tcfg = DenseContrastiveConfig(
+        model=FeatureExtractorConfig(
+            n_features=tuple(model_features), n_linear=tuple(model_linear)
+        ),
+        pos_encoding=pos_encoding,
+        learning_rate=learning_rate,
+        temperature=temperature,
+        iterations=train_iterations,
+        samples_per_iteration=samples_per_iteration,
+        neg_count=min(1024, tsize**2),
+    )
+    trainer = DenseContrastiveTrainer(tvol, tlabels, names, tcfg, seed=seed)
+    rec = {"loss": float("nan")}  # train_iterations=0 = untrained baseline
+    for _ in range(train_iterations):
+        rec = trainer.step()
+    # (F, Z, Y, X) features of the EVAL volume at full resolution
+    feats = trainer.dense_features(vol if tsize != size else None)
+    feats = feats / jnp.maximum(
+        jnp.linalg.norm(feats, axis=0, keepdims=True), 1e-12
+    )
+    return feats, rec, tsize
 
 
 def structured_quality_experiment(
@@ -205,6 +270,7 @@ def structured_quality_experiment(
     samples_per_iteration: int = 8,
     temperature: float = 1.0,
     train_size: int | None = None,
+    phantom: str = "easy",
 ) -> dict:
     """Fast-vs-full A/B on a TRAINED (non-random) feature distribution.
 
@@ -232,17 +298,13 @@ def structured_quality_experiment(
     modes. Returns the same table shape as ``fastmode_quality_experiment``
     plus training metadata.
     """
-    from vittf_tpu.core.synthetic import make_multiclass_volume
+    from vittf_tpu.core.synthetic import PHANTOMS
     from vittf_tpu.ops.resize import adaptive_avg_pool
     from vittf_tpu.pipeline.features import _subsample_slice_indices
-    from vittf_tpu.train.dense import (
-        DenseContrastiveConfig,
-        DenseContrastiveTrainer,
-    )
 
     if fos is None:
         fos = max(size // 4, 4)
-    vol, labels = make_multiclass_volume(size, seed=seed)
+    vol, labels = PHANTOMS[phantom](size, seed=seed)
     n_classes = int(labels.max())
     names = ["background"] + [f"c{i}" for i in range(1, n_classes + 1)]
 
@@ -252,34 +314,10 @@ def structured_quality_experiment(
     # (75 GB — OOM), and a size-pinned oracle also keeps the feature
     # distribution IDENTICAL across the subsample factors under test,
     # so the factor is the only variable in the sweep.
-    tsize = train_size or size
-    if tsize != size:
-        tvol, tlabels = make_multiclass_volume(tsize, seed=seed)
-        assert int(tlabels.max()) == n_classes
-    else:
-        tvol, tlabels = vol, labels
-
-    from vittf_tpu.models.cnn3d import FeatureExtractorConfig
-
-    tcfg = DenseContrastiveConfig(
-        model=FeatureExtractorConfig(
-            n_features=tuple(model_features), n_linear=tuple(model_linear)
-        ),
-        pos_encoding=pos_encoding,
-        learning_rate=learning_rate,
-        temperature=temperature,
-        iterations=train_iterations,
-        samples_per_iteration=samples_per_iteration,
-        neg_count=min(1024, tsize**2),
-    )
-    trainer = DenseContrastiveTrainer(tvol, tlabels, names, tcfg, seed=seed)
-    rec = {"loss": float("nan")}  # train_iterations=0 = untrained baseline
-    for _ in range(train_iterations):
-        rec = trainer.step()
-    # (F, Z, Y, X) features of the EVAL volume at full resolution
-    feats = trainer.dense_features(vol if tsize != size else None)
-    feats = feats / jnp.maximum(
-        jnp.linalg.norm(feats, axis=0, keepdims=True), 1e-12
+    feats, rec, tsize = _train_cnn_oracle_features(
+        vol, labels, names, size, seed, train_iterations, model_features,
+        model_linear, pos_encoding, learning_rate, samples_per_iteration,
+        temperature, train_size, phantom,
     )
 
     rng = np.random.default_rng(seed)
@@ -305,6 +343,7 @@ def structured_quality_experiment(
         "fos": fos,
         "n_annotations": n_annotations,
         "seed": seed,
+        "phantom": phantom,
         "feature_source": "dense-contrastive-trained",
         "train_iterations": train_iterations,
         "final_train_loss": float(rec["loss"]),
@@ -328,6 +367,115 @@ def structured_quality_experiment(
     return out
 
 
+def refinement_quality_experiment(
+    size: int,
+    fos: int | None = None,
+    phantom: str = "easy",
+    seed: int = 0,
+    n_annotations: int = 256,
+    train_iterations: int = 600,
+    oracle_kw: dict | None = None,
+    features: jnp.ndarray | None = None,
+    feature_source: str = "dense-contrastive-trained",
+    island_threshold: int = 69,
+) -> dict:
+    """Measure the refinement stack's QUALITY uplift: IoU with/without the
+    3D bilateral solver and with/without largest-island filtering.
+
+    The reference's refinement layer exists because it buys quality
+    (predict_ntf.py:73-96 refines every similarity map;
+    tests/test_connected_components.py:26-61 keeps the largest island) —
+    until round 5 this repo only parity-tested the numerics without ever
+    demonstrating the benefit (VERDICT r4 missing #3). Four cells on
+    identical features + annotations isolate each knob:
+
+        base          raw similarity → fuse
+        bls           bilateral-solver-refined similarity → fuse
+        island        raw similarity → largest-island filter → fuse
+        bls_island    both
+
+    ``features``: optional (F, fos³) feature volume (e.g. the ViT-SSL
+    oracle's extraction); default trains the strong CNN oracle and pools
+    its full-res features to the fos grid (the structured A/B's 'full'
+    emulation).
+    """
+    from vittf_tpu.core.synthetic import PHANTOMS
+    from vittf_tpu.ops.connected import filter_similarity_largest_island
+    from vittf_tpu.ops.resize import adaptive_avg_pool
+
+    if fos is None:
+        fos = max(size // 4, 4)
+    vol, labels = PHANTOMS[phantom](size, seed=seed)
+    n_classes = int(labels.max())
+    names = ["background"] + [f"c{i}" for i in range(1, n_classes + 1)]
+
+    okw = dict(
+        model_features=(16, 32, 64), model_linear=(64,), pos_encoding=True,
+        learning_rate=1e-3, samples_per_iteration=8, temperature=0.07,
+        train_size=min(64, size),
+    )
+    okw.update(oracle_kw or {})
+    if features is None:
+        feats_full, rec, tsize = _train_cnn_oracle_features(
+            vol, labels, names, size, seed, train_iterations,
+            okw["model_features"], okw["model_linear"], okw["pos_encoding"],
+            okw["learning_rate"], okw["samples_per_iteration"],
+            okw["temperature"], okw["train_size"], phantom,
+        )
+        # the structured A/B's 'full' emulation: 3 identical per-axis pools
+        features = 3.0 * adaptive_avg_pool(feats_full, (fos,) * 3)
+        train_loss = float(rec["loss"])
+    else:
+        train_loss = float("nan")
+
+    rng = np.random.default_rng(seed)
+    annotations = annotations_from_labels(labels, n_annotations, "both", rng=rng)
+    n_fg = len(annotations)
+    annotations["bg"] = _sample_background(np.asarray(labels), n_annotations, rng)
+
+    vol_j = jnp.asarray(vol, jnp.float32)
+    out: dict = {
+        "size": size,
+        "fos": fos,
+        "phantom": phantom,
+        "seed": seed,
+        "n_annotations": n_annotations,
+        "feature_source": feature_source,
+        "final_train_loss": train_loss,
+        "island_threshold": island_threshold,
+        "grid_ceiling": grid_ceiling_miou(np.asarray(labels), fos),
+    }
+    for bls in (False, True):
+        sims = compute_similarities(
+            vol_j, features, annotations, bilateral_solver=bls
+        )
+        for island in (False, True):
+            cell = ("bls" if bls else "") + ("_" if bls and island else "") \
+                + ("island" if island else "") or "base"
+            maps = (
+                {
+                    k: filter_similarity_largest_island(v, island_threshold)
+                    for k, v in sims.items()
+                }
+                if island
+                else sims
+            )
+            pred = fuse_predictions(maps, [0.25] * len(maps))
+            pred = upscale_prediction(pred, vol.shape)  # device-resident
+            pred = jnp.where(pred == n_fg + 1, 0, pred)
+            m = segmentation_metrics(labels, pred, names)
+            fg_iou = {k: v for k, v in m["iou"].items() if k != "background"}
+            out[cell] = {
+                "mIoU_fg": float(np.mean(list(fg_iou.values()))),
+                "iou": fg_iou,
+                "accuracy": m["mAcc"],
+            }
+    out["bls_uplift"] = out["bls"]["mIoU_fg"] - out["base"]["mIoU_fg"]
+    out["island_uplift"] = out["island"]["mIoU_fg"] - out["base"]["mIoU_fg"]
+    out["stack_uplift"] = out["bls_island"]["mIoU_fg"] - out["base"]["mIoU_fg"]
+    return out
+
+
 def fastmode_seed_budget_sweep(
     size: int,
     params: dict,
@@ -335,6 +483,7 @@ def fastmode_seed_budget_sweep(
     base_cfg: ExtractConfig,
     budgets: tuple = (64, 256, 1024),
     seeds: tuple = (0, 1, 2),
+    phantom: str = "easy",
 ) -> dict:
     """ViT-path fast-vs-full A/B across annotation budgets × seeds.
 
@@ -348,7 +497,7 @@ def fastmode_seed_budget_sweep(
         for seed in seeds:
             r = fastmode_quality_experiment(
                 size, params, model_cfg, base_cfg,
-                n_annotations=budget, seed=seed,
+                n_annotations=budget, seed=seed, phantom=phantom,
             )
             cells.append(
                 {

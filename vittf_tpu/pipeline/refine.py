@@ -154,7 +154,7 @@ def _refine_batched_core(
     sigma_luma: int,
     lam: float,
     cg_maxiter: int,
-    pixel_impl: str = "scan",
+    pixel_impl: str = "auto",
 ) -> jnp.ndarray:
     """vmapped crop → sobel confidence → bilateral solve → write-back →
     uint8 quantize for all classes; trace-level body shared by the classic

