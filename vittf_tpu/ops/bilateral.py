@@ -101,45 +101,159 @@ def _unblock_pixel_view(xb: jnp.ndarray, ss: int, sp_ext, shape) -> jnp.ndarray:
     return xp[tuple(slice(0, s) for s in shape)]
 
 
-def _pallas_cells_per_block(B: int) -> int:
-    """Cells per kernel program, bounded so the (CB, B) int32 + 2×f32
-    blocks stay well under VMEM (≤ ~6 MB of inputs per program)."""
-    return max(8, min(512, (1 << 19) // max(B, 1) * 8))
+def _reblock3d_pallas(x: jnp.ndarray, ss: int, sp_ext, fill=0) -> jnp.ndarray:
+    """Pallas pixel-blocking for rank 3: (Z, Y, X) -> (n_cells*ss, ss**2).
 
+    The XLA ``_blocked_pixel_view`` lowering materializes a 6-D
+    intermediate whose minor dim is ss (=7): TPU pads it to the (8, 128)
+    tile -- an 18x layout expansion, 11.2 GB of temps at a 512**3 crop
+    (measured via memory_analysis), which is what OOM'd headline-scale
+    multi-class refinement. Here each (ss, ss, X) slab is read into VMEM
+    once, transposed, and written out -- no bad-layout array ever touches
+    HBM.
 
-def _splat_pallas(il_b: jnp.ndarray, vals: jnp.ndarray, L: int) -> jnp.ndarray:
-    """One-pass splat: (n_cells, B) luma bins + (2, n_cells, B) values →
-    (3, n_cells, L) [count, splat(c), splat(t·c)] per (cell, bin).
-
-    The lax.scan form re-reads every pixel once per luma bin (L ≈ 52
-    passes over the crop — 450 ms at a 512³ crop); here each pixel block
-    is read from HBM once and the L-bin histogram loop runs on
-    VMEM-resident data. Algebraically identical to the scan/scatter
-    impls (same per-(cell, bin) reduction)."""
+    LAYOUT: row r = cell*ss + dx holds the (dz, dy) plane of pixel-column
+    dx of that cell (lanes = dz*ss + dy). This differs from the XLA
+    view's (n_cells, ss**3) rows, because Mosaic cannot split the lane
+    dim X into (NCX, ss); splat reduces over each cell's ss-row group +
+    lanes (order-free), slice/unreblock use the same layout. Only
+    ``_splat_pallas``/``_slice_pallas`` (with groups=ss) and
+    ``_unreblock3d_pallas`` may consume this view."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_cells, B = il_b.shape
-    CB = _pallas_cells_per_block(B)
-    # ragged grid, NO jnp.pad copies: at a 512³ crop the padded copies of
-    # il_b + vals are ~1.7 GB of pure transient traffic, enough to OOM the
-    # multi-class chunked refine. Mosaic masks the last block's
-    # out-of-bounds stores, and its undefined loaded rows only feed
-    # dropped outputs (every row's reduction is row-local).
-    n_pad = -(-n_cells // CB) * CB
+    Z, Y, X = x.shape
+    NCZ, NCY, NCX = sp_ext
+    n_cells = NCZ * NCY * NCX
+    Xp = NCX * ss
+    P = ss * ss
 
-    def kernel(il_ref, vals_ref, out_ref):
+    # Mosaic block shapes must have their last two dims (8, 128)-divisible
+    # or equal to the array dims; pad z/y to cell multiples (minor dims
+    # untouched -- cheap) and split the leading dims so the per-program
+    # block is (1, ss, 1, ss, X) with last dims equal to the array's.
+    xp = jnp.pad(
+        x, ((0, NCZ * ss - Z), (0, NCY * ss - Y), (0, 0)),
+        constant_values=fill,
+    ).reshape(NCZ, ss, NCY, ss, X)
+
+    def kernel(x_ref, o_ref):
+        v = x_ref[:].reshape(P, X)  # rows = dz*ss + dy, lanes = x
+        if Xp != X:
+            v = jnp.pad(v, ((0, 0), (0, Xp - X)), constant_values=fill)
+        o_ref[:] = v.T.reshape(1, Xp, P)  # rows = x = cx*ss + dx
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((NCZ * NCY, Xp, P), x.dtype),
+        grid=(NCZ, NCY),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ss, 1, ss, X), lambda cz, cy: (cz, 0, cy, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Xp, P), lambda cz, cy: (cz * NCY + cy, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(xp)
+    # global row = ((cz*NCY + cy)*NCX + cx)*ss + dx = cell*ss + dx
+    return out.reshape(n_cells * ss, P)
+
+
+def _unreblock3d_pallas(xb: jnp.ndarray, ss: int, sp_ext, shape) -> jnp.ndarray:
+    """Inverse of ``_reblock3d_pallas``: (n_cells*ss, ss**2) -> (*shape).
+
+    Same rationale: the XLA inverse transpose pays the 18x padded-layout
+    temp; here each (Xp, ss**2) row block becomes one (ss, ss, X) output
+    slab via a single VMEM transpose."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Z, Y, X = shape
+    NCZ, NCY, NCX = sp_ext
+    Xp = NCX * ss
+    P = ss * ss
+    xb3 = xb.reshape(NCZ * NCY, Xp, P)
+
+    def kernel(b_ref, o_ref):
+        v = b_ref[:].reshape(Xp, P).T  # (ss**2, Xp)
+        o_ref[:] = v[:, :X].reshape(1, ss, 1, ss, X)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((NCZ, ss, NCY, ss, X), xb.dtype),
+        grid=(NCZ, NCY),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Xp, P), lambda cz, cy: (cz * NCY + cy, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ss, 1, ss, X), lambda cz, cy: (cz, 0, cy, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(xb3)
+    return out.reshape(NCZ * ss, NCY * ss, X)[:Z, :Y]
+
+
+def _pallas_cells_per_block(B_padded: int) -> int:
+    """Cells per kernel program, bounded so the int32 + 2xf32 pixel
+    blocks stay well under VMEM (<= ~3 MB of inputs per program).
+    ``B_padded`` is pixels per cell at the LANE-PADDED width (lanes pad
+    to 128)."""
+    return max(8, min(256, (1 << 18) // max(B_padded, 1) * 8))
+
+
+def _splat_pallas(
+    il_b: jnp.ndarray,
+    c_b: jnp.ndarray,
+    tc_b: jnp.ndarray,
+    L: int,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """One-pass splat: (n_cells*G, PB) luma bins + value planes ->
+    (3, n_cells, L) [count, splat(c), splat(t*c)] per (cell, bin).
+
+    The lax.scan form re-reads every pixel once per luma bin (L ~ 52
+    passes over the crop -- 450 ms at a 512**3 crop); here each pixel
+    block is read from HBM once and the L-bin histogram loop runs on
+    VMEM-resident data. ``groups`` = rows per cell (ss for the rank-3
+    reblock layout, 1 for the XLA blocked view). Algebraically identical
+    to the scan/scatter impls (same per-(cell, bin) reduction)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows, PB = il_b.shape
+    G = groups
+    n_cells = n_rows // G
+    CB = _pallas_cells_per_block(G * (-(-PB // 128) * 128))
+    # ragged grid, NO jnp.pad copies: padded copies of the pixel planes
+    # would be GBs of pure transient traffic at headline crops. Mosaic
+    # masks the last block's out-of-bounds stores, and its undefined
+    # loaded rows only feed dropped outputs (cells never straddle blocks,
+    # so every real cell's reduction sees only real rows).
+    n_blocks = -(-n_cells // CB)
+
+    def kernel(il_ref, c_ref, tc_ref, out_ref):
         il = il_ref[:]
-        c = vals_ref[0]
-        tc = vals_ref[1]
+        c = c_ref[:]
+        tc = tc_ref[:]
         # Mosaic has no dynamic_update_slice; write bin l's column through
         # a lane-iota select instead
         lane = jax.lax.broadcasted_iota(jnp.int32, (3, CB, L), 2)
 
+        def cellsum(x):  # (CB*G, PB) -> (CB,): fold each cell's G rows
+            # staged reduction (3-D -> 2-D -> 1-D): the fused .sum((1, 2))
+            # trips a Mosaic layout assertion (layout.h:320 crash)
+            return x.reshape(CB, G, PB).sum(1).sum(-1)
+
         def body(l, acc):
             mask = (il == l).astype(jnp.float32)
             row = jnp.stack(
-                [mask.sum(-1), (c * mask).sum(-1), (tc * mask).sum(-1)]
+                [cellsum(mask), cellsum(c * mask), cellsum(tc * mask)]
             )  # (3, CB)
             return jnp.where(lane == l, row[:, :, None], acc)
 
@@ -147,41 +261,45 @@ def _splat_pallas(il_b: jnp.ndarray, vals: jnp.ndarray, L: int) -> jnp.ndarray:
             0, L, body, jnp.zeros((3, CB, L), jnp.float32)
         )
 
+    pix_spec = pl.BlockSpec(
+        (CB * G, PB), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, n_cells, L), jnp.float32),
-        grid=(n_pad // CB,),
-        in_specs=[
-            pl.BlockSpec((CB, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (2, CB, B), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        grid=(n_blocks,),
+        in_specs=[pix_spec, pix_spec, pix_spec],
         out_specs=pl.BlockSpec(
             (3, CB, L), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-    )(il_b, vals)
+    )(il_b, c_b, tc_b)
     return out
 
 
-def _slice_pallas(il_b: jnp.ndarray, yl: jnp.ndarray, L: int) -> jnp.ndarray:
-    """One-pass slice: out[cell, b] = yl[cell, il_b[cell, b]].
+def _slice_pallas(
+    il_b: jnp.ndarray, yl: jnp.ndarray, L: int, groups: int = 1
+) -> jnp.ndarray:
+    """One-pass slice: out[row, p] = yl[row // G, il_b[row, p]].
 
     Same one-HBM-pass argument as ``_splat_pallas``; padded slots
-    (bin −1) match no l and come back 0."""
+    (bin -1) match no l and come back 0. Runs once per solve (after CG),
+    and once per bistochastization when that moves pixel-side."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_cells, B = il_b.shape
-    CB = _pallas_cells_per_block(B)
-    # ragged grid, no pad copies — see _splat_pallas. This runs once per
-    # CG iteration, so the pad copy would also multiply by cg_maxiter.
-    n_pad = -(-n_cells // CB) * CB
+    n_rows, PB = il_b.shape
+    G = groups
+    n_cells = n_rows // G
+    CB = _pallas_cells_per_block(G * (-(-PB // 128) * 128))
+    n_blocks = -(-n_cells // CB)  # ragged grid, no pad copies -- see splat
 
     def kernel(il_ref, y_ref, out_ref):
         il = il_ref[:]
-        y = y_ref[:]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (CB, L), 1)
+        # each cell's lattice row broadcast to its G pixel rows
+        y = jnp.broadcast_to(
+            y_ref[:].reshape(CB, 1, L), (CB, G, L)
+        ).reshape(CB * G, L)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (CB * G, L), 1)
 
         def body(l, acc):
             # bin l's column via a masked row-reduce (no dynamic_slice in
@@ -192,19 +310,21 @@ def _slice_pallas(il_b: jnp.ndarray, yl: jnp.ndarray, L: int) -> jnp.ndarray:
             return jnp.where(il == l, sel, acc)
 
         out_ref[:] = jax.lax.fori_loop(
-            0, L, body, jnp.zeros((CB, B), jnp.float32)
+            0, L, body, jnp.zeros((CB * G, PB), jnp.float32)
         )
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_cells, B), jnp.float32),
-        grid=(n_pad // CB,),
+        out_shape=jax.ShapeDtypeStruct((n_rows, PB), jnp.float32),
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((CB, B), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (CB * G, PB), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((CB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (CB, B), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (CB * G, PB), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
     )(il_b, yl)
     return out
@@ -289,18 +409,31 @@ def bilateral_solve_gray(
         )
 
     if pixel_impl == "pallas":
-        il_b = _blocked_pixel_view(
-            (luma.astype(jnp.float32) / sigma_luma).astype(jnp.int32),
-            ss, sp_ext, fill=-1,
+        rank3 = len(shape) == 3
+        # rank 3 blocks/unblocks in Pallas (the XLA lowering's 6-D
+        # intermediate costs an 18× padded-layout temp — 11.2 GB at a
+        # 512³ crop); other ranks are small and keep the XLA view
+        G = ss if rank3 else 1
+        reblock = (
+            (lambda x, fill=0: _reblock3d_pallas(x, ss, sp_ext, fill=fill))
+            if rank3
+            else (lambda x, fill=0: _blocked_pixel_view(x, ss, sp_ext, fill=fill))
         )
-        vals = jnp.stack([
-            _blocked_pixel_view(c.reshape(shape), ss, sp_ext),
-            _blocked_pixel_view((t * c).reshape(shape), ss, sp_ext),
-        ])
-        m, w_splat, b = _splat_pallas(il_b, vals, L).reshape(3, nverts)
+        il_b = reblock(
+            (luma.astype(jnp.float32) / sigma_luma).astype(jnp.int32),
+            fill=-1,
+        )
+        m, w_splat, b = _splat_pallas(
+            il_b,
+            reblock(c.reshape(shape)),
+            reblock((t * c).reshape(shape)),
+            L, groups=G,
+        ).reshape(3, nverts)
 
         def slice_(y_vert):
-            out = _slice_pallas(il_b, y_vert.reshape(n_cells, L), L)
+            out = _slice_pallas(il_b, y_vert.reshape(n_cells, L), L, groups=G)
+            if rank3:
+                return _unreblock3d_pallas(out, ss, sp_ext, shape).reshape(-1)
             return _unblock_pixel_view(out, ss, sp_ext, shape).reshape(-1)
 
     elif pixel_impl == "scan":

@@ -397,11 +397,17 @@ def refine_similarities_batched(
         [sims, jnp.zeros((n_pad,) + tuple(sim_shape), sims.dtype)]
     ) if n_pad else sims
     starts_p = np.concatenate([starts, np.zeros((n_pad, 3), np.int32)])
-    outs = [
-        _refine_batched_device(
-            sims_p[i : i + chunk], vol_u8,
-            jnp.asarray(starts_p[i : i + chunk]), ext, **solve_kw
+    outs = []
+    for i in range(0, C + n_pad, chunk):
+        xc = sims_p[i : i + chunk]  # device slice copy, chunk-sized
+        out = _refine_batched_device(
+            xc, vol_u8, jnp.asarray(starts_p[i : i + chunk]), ext, **solve_kw
         )
-        for i in range(0, C + n_pad, chunk)
-    ]
+        # synchronize per chunk: async dispatch would enqueue EVERY
+        # chunk's input slice + program before any completes, holding
+        # C crop-sized fp32 copies at once (measured OOM at 512³×5 on a
+        # 16 GB chip); blocking frees each slice before the next dispatch
+        out.block_until_ready()
+        del xc
+        outs.append(out)
     return jnp.concatenate(outs)[:C]
