@@ -49,6 +49,18 @@ def main(argv=None) -> None:
     )
     ap.add_argument("--ssl-steps", type=int, default=400)
     ap.add_argument(
+        "--refinement", action="store_true",
+        help="measure the refinement stack's IoU uplift (BLS / largest-"
+             "island / both vs base) on the strong-CNN-oracle features "
+             "(VERDICT r4 missing #3) instead of the fast-vs-full A/B",
+    )
+    ap.add_argument(
+        "--phantom", default="easy", choices=["easy", "hard"],
+        help="synthetic fixture family: 'easy' disjoint intensity bands, "
+             "'hard' anatomy-like (touching organs, graded contrast, bias "
+             "field, partial-volume boundaries; VERDICT r4 weak #6)",
+    )
+    ap.add_argument(
         "--sweep", action="store_true",
         help="ViT-path A/B across --budgets x --seeds at each size",
     )
@@ -64,10 +76,45 @@ def main(argv=None) -> None:
     from vittf_tpu.pipeline.quality import (
         fastmode_quality_experiment,
         fastmode_seed_budget_sweep,
+        refinement_quality_experiment,
         structured_quality_experiment,
     )
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    if args.refinement:
+        results = []
+        for size in args.sizes:
+            for seed in args.seeds:
+                r = refinement_quality_experiment(
+                    size, fos=args.fos if args.fos < size else None,
+                    phantom=args.phantom, seed=seed,
+                    n_annotations=args.annotations,
+                    train_iterations=args.train_iters or 600,
+                )
+                results.append(r)
+                print(
+                    f"refinement {args.phantom} {size}^3 seed {seed} "
+                    f"(fos {r['fos']}): base {r['base']['mIoU_fg']:.4f} | "
+                    f"bls {r['bls']['mIoU_fg']:.4f} | island "
+                    f"{r['island']['mIoU_fg']:.4f} | both "
+                    f"{r['bls_island']['mIoU_fg']:.4f} | bls_uplift "
+                    f"{r['bls_uplift']:+.4f} stack_uplift "
+                    f"{r['stack_uplift']:+.4f}",
+                    file=sys.stderr,
+                )
+        import numpy as _np
+
+        for k in ("bls_uplift", "island_uplift", "stack_uplift"):
+            vals = [r[k] for r in results]
+            print(
+                f"{k}: mean {float(_np.mean(vals)):+.4f} "
+                f"min {float(_np.min(vals)):+.4f} "
+                f"max {float(_np.max(vals)):+.4f}",
+                file=sys.stderr,
+            )
+        _emit(results, args.out)
+        return
 
     if args.structured:
         # pilot-selected strong oracle (/tmp/oracle_pilot2.log, r4): wide
@@ -90,6 +137,7 @@ def main(argv=None) -> None:
                     size, fos=args.fos if args.fos < size else None,
                     train_iterations=train_iters,
                     n_annotations=args.annotations, seed=seed,
+                    phantom=args.phantom,
                     **oracle_kw,
                 )
                 results.append(r)
@@ -158,6 +206,7 @@ def main(argv=None) -> None:
             r = fastmode_seed_budget_sweep(
                 size, trained, cfg, ex_cfg,
                 budgets=tuple(args.budgets), seeds=tuple(args.seeds),
+                phantom=args.phantom,
             )
             r["feature_source"] = "vit-ssl"
             r["fos"] = args.fos
@@ -205,7 +254,8 @@ def main(argv=None) -> None:
     results = []
     for size in args.sizes:
         r = fastmode_quality_experiment(
-            size, params, cfg, ex_cfg, n_annotations=args.annotations
+            size, params, cfg, ex_cfg, n_annotations=args.annotations,
+            phantom=args.phantom,
         )
         r["subsample_factor"] = size / args.fos
         results.append(r)
