@@ -49,6 +49,17 @@ def main(argv=None) -> None:
     )
     ap.add_argument("--ssl-steps", type=int, default=400)
     ap.add_argument(
+        "--pin-oracle-size", type=int, default=None,
+        help="--vit-ssl: train the SSL oracle ONCE on a phantom of this "
+             "size and reuse its weights for every --sizes cell (the CNN "
+             "oracle's train_size pinning applied to the ViT path). "
+             "r4 evidence: per-size re-training collapses at 512^3 "
+             "(full mIoU 0.01-0.12) while the same recipe at 256^3 "
+             "reaches 0.63-0.78; pinning at 256 keeps every factor on "
+             "the SAME >=0.5-mIoU feature distribution (VERDICT r4 "
+             "missing #2 / weak #1)",
+    )
+    ap.add_argument(
         "--refinement", action="store_true",
         help="measure the refinement stack's IoU uplift (BLS / largest-"
              "island / both vs base) on the strong-CNN-oracle features "
@@ -83,14 +94,69 @@ def main(argv=None) -> None:
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     if args.refinement:
+        ssl_params = ssl_hist = None
+        if args.vit_ssl:
+            # refinement A/B on the ViT-path oracle too (VERDICT r4
+            # missing #3 asks for "both oracles"): pin the SSL oracle
+            # once, extract real full-sweep features per cell
+            import numpy as np
+
+            from vittf_tpu.core.synthetic import PHANTOMS
+            from vittf_tpu.models.dino import DINO_ARCHS
+            from vittf_tpu.models.vit import init_vit_params
+            from vittf_tpu.pipeline.features import (
+                ExtractConfig,
+                extract_features,
+            )
+            from vittf_tpu.train.vit_ssl import (
+                ViTSelfSupConfig,
+                train_vit_selfsup,
+            )
+
+            pin = args.pin_oracle_size or 256
+            cfg = DINO_ARCHS["vits8"]
+            params = init_vit_params(cfg, jax.random.PRNGKey(0))
+            vol, _ = PHANTOMS[args.phantom](pin, seed=args.seeds[0])
+            ssl_params, ssl_hist = train_vit_selfsup(
+                np.asarray(vol), params, cfg,
+                ViTSelfSupConfig(steps=args.ssl_steps), seed=args.seeds[0]
+            )
+            print(
+                f"refinement vit-ssl pinned oracle @{pin}^3: loss "
+                f"{ssl_hist[0]['loss']:.3f} → {ssl_hist[-1]['loss']:.3f}",
+                file=sys.stderr,
+            )
+            on_cpu = jax.devices()[0].platform == "cpu"
+            ex_cfg = ExtractConfig(
+                feature_output_size=args.fos, slice_along="all",
+                batch_size=args.batch, attn_impl="auto",
+                compute_dtype="float32" if on_cpu else "bfloat16",
+                block_impl="xla" if on_cpu else args.block_impl,
+            )
         results = []
         for size in args.sizes:
             for seed in args.seeds:
+                feats = None
+                if ssl_params is not None:
+                    import jax.numpy as jnp
+
+                    from vittf_tpu.core.synthetic import PHANTOMS
+
+                    vol, _ = PHANTOMS[args.phantom](size, seed=seed)
+                    feats = extract_features(
+                        jnp.asarray(vol, jnp.float32), ssl_params, cfg,
+                        ex_cfg,
+                    )["k"]
                 r = refinement_quality_experiment(
                     size, fos=args.fos if args.fos < size else None,
                     phantom=args.phantom, seed=seed,
                     n_annotations=args.annotations,
                     train_iterations=args.train_iters or 600,
+                    features=feats,
+                    feature_source=(
+                        "vit-ssl-pinned" if feats is not None
+                        else "dense-contrastive-trained"
+                    ),
                 )
                 results.append(r)
                 print(
@@ -176,7 +242,7 @@ def main(argv=None) -> None:
         # exact code path with content-responsive features.
         import numpy as np
 
-        from vittf_tpu.core.synthetic import make_multiclass_volume
+        from vittf_tpu.core.synthetic import PHANTOMS
         from vittf_tpu.train.vit_ssl import (
             ViTSelfSupConfig,
             train_vit_selfsup,
@@ -192,12 +258,29 @@ def main(argv=None) -> None:
             block_impl="xla" if on_cpu else args.block_impl,
         )
         results = []
-        for size in args.sizes:
-            vol, _ = make_multiclass_volume(size, seed=args.seeds[0])
+        pinned = None
+        if args.pin_oracle_size:
+            vol, _ = PHANTOMS[args.phantom](args.pin_oracle_size,
+                                            seed=args.seeds[0])
             ssl_cfg = ViTSelfSupConfig(steps=args.ssl_steps)
-            trained, hist = train_vit_selfsup(
+            pinned, pinned_hist = train_vit_selfsup(
                 np.asarray(vol), params, cfg, ssl_cfg, seed=args.seeds[0]
             )
+            print(
+                f"vit-ssl pinned oracle @{args.pin_oracle_size}^3: loss "
+                f"{pinned_hist[0]['loss']:.3f} → "
+                f"{pinned_hist[-1]['loss']:.3f} over {args.ssl_steps} steps",
+                file=sys.stderr,
+            )
+        for size in args.sizes:
+            if pinned is not None:
+                trained, hist = pinned, pinned_hist
+            else:
+                vol, _ = PHANTOMS[args.phantom](size, seed=args.seeds[0])
+                ssl_cfg = ViTSelfSupConfig(steps=args.ssl_steps)
+                trained, hist = train_vit_selfsup(
+                    np.asarray(vol), params, cfg, ssl_cfg, seed=args.seeds[0]
+                )
             print(
                 f"vit-ssl {size}^3: loss {hist[0]['loss']:.3f} → "
                 f"{hist[-1]['loss']:.3f} over {args.ssl_steps} steps",
@@ -214,6 +297,7 @@ def main(argv=None) -> None:
                 "steps": args.ssl_steps,
                 "loss_first": hist[0]["loss"],
                 "loss_last": hist[-1]["loss"],
+                "pinned_oracle_size": args.pin_oracle_size,
             }
             results.append(r)
             print(
