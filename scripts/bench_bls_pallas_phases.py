@@ -8,6 +8,8 @@ Run: python scripts/bench_bls_pallas_phases.py [size ...]
 """
 from __future__ import annotations
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import functools
 import sys
 import time
