@@ -264,3 +264,56 @@ def test_blocked_pixel_view_roundtrip():
         assert xb.shape == (int(np.prod(sp_ext)), ss ** len(shape))
         back = _unblock_pixel_view(xb, ss, sp_ext, shape)
         np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_fused_pallas_impl_matches_scan(gray_volume):
+    """The fused single-kernel splat/slice lowering (in-kernel binning,
+    t*c, reblock transpose; pixel_impl='pallas') agrees with the scan
+    form. Runs the kernels in Pallas interpret mode so the Mosaic-path
+    numerics are exercised on CPU; the on-chip agreement test lives in
+    tests_tpu/."""
+    rng = np.random.default_rng(8)
+    t = (gray_volume > 150).astype(np.float32)
+    c = rng.random(gray_volume.shape).astype(np.float32) * 0.5 + 0.4
+    kw = dict(sigma_spatial=4, sigma_luma=8)  # ragged: 20^3, ss=4 -> 5^3
+    a = np.asarray(bilateral_solve_gray(
+        jnp.asarray(t), jnp.asarray(gray_volume, jnp.float32),
+        jnp.asarray(c), pixel_impl="pallas_interpret", **kw))
+    b = np.asarray(bilateral_solve_gray(
+        jnp.asarray(t), jnp.asarray(gray_volume, jnp.float32),
+        jnp.asarray(c), pixel_impl="scan", **kw))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_pallas_ragged_and_divisible_geometry():
+    """Fused kernels handle both ragged (pad z/y, lane pad) and exactly
+    divisible crops; splat counts ignore pad pixels (total pixel count
+    preserved through the in-kernel luma binning)."""
+    from vittf_tpu.ops.bilateral import (
+        _grid_extents,
+        _pad5d_fill,
+        _splat_fused3d_pallas,
+    )
+
+    rng = np.random.default_rng(9)
+    for shape in [(11, 9, 13), (8, 8, 8)]:
+        ss, sl = 4, 8
+        ext = _grid_extents(shape, ss, sl)
+        sp_ext, L = ext[:-1], ext[-1]
+        luma = rng.random(shape, np.float32) * 255.0
+        t = rng.random(shape, np.float32)
+        c = rng.random(shape, np.float32)
+        out = _splat_fused3d_pallas(
+            _pad5d_fill(jnp.asarray(luma), ss, sp_ext, -2.0 * sl),
+            _pad5d_fill(jnp.asarray(t), ss, sp_ext, 0),
+            _pad5d_fill(jnp.asarray(c), ss, sp_ext, 0),
+            sl, ss, sp_ext, L, interpret=True,
+        )
+        m = np.asarray(out[0])
+        assert m.sum() == np.prod(shape)  # pad pixels bin to -1: uncounted
+        np.testing.assert_allclose(
+            np.asarray(out[1]).sum(), c.sum(), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[2]).sum(), (t * c).sum(), rtol=1e-5
+        )

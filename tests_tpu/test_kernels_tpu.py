@@ -149,11 +149,14 @@ def test_bilateral_scan_matches_scatter_on_chip():
     np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
 
 
-def test_bilateral_pallas_matches_scan_on_chip():
-    """The one-HBM-pass Mosaic splat/slice kernels (pixel_impl='pallas' —
-    the TPU 'auto' default) are algebraically the same per-(cell, bin)
-    reduction as the scan form; assert they agree on hardware, including
-    at non-multiple shapes that exercise the cell padding."""
+@pytest.mark.parametrize("impl", ["pallas", "pallas_reblock"])
+def test_bilateral_pallas_matches_scan_on_chip(impl):
+    """The Mosaic splat/slice kernels — 'pallas' (fused single-kernel:
+    in-kernel binning + t·c + reblock transpose; the TPU 'auto' default)
+    and 'pallas_reblock' (split reblock→splat/slice→unreblock) — are
+    algebraically the same per-(cell, bin) reduction as the scan form;
+    assert they agree on hardware, including at non-multiple shapes that
+    exercise the cell padding."""
     from vittf_tpu.ops.bilateral import bilateral_solve_gray
 
     rng = np.random.default_rng(13)
@@ -172,6 +175,6 @@ def test_bilateral_pallas_matches_scan_on_chip():
             pixel_impl="scan", **kw))
         b = np.asarray(bilateral_solve_gray(
             jnp.asarray(t), jnp.asarray(luma), jnp.asarray(c),
-            pixel_impl="pallas", **kw))
+            pixel_impl=impl, **kw))
         assert np.isfinite(b).all()
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)

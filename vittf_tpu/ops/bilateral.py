@@ -330,6 +330,161 @@ def _slice_pallas(
     return out
 
 
+def _splat_fused3d_pallas(
+    luma_p: jnp.ndarray,  # (NCZ, ss, NCY, ss, X) float — z/y padded
+    t_p: jnp.ndarray,
+    c_p: jnp.ndarray,
+    sigma_luma: int,
+    ss: int,
+    sp_ext,
+    L: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Raw pixels → (3, n_cells, L) [count, splat(c), splat(t·c)] in ONE
+    kernel: luma binning, the t·c product, the rank-3 reblock transpose,
+    and the L-bin histogram all happen on VMEM-resident slabs.
+
+    The split pipeline (il/t·c XLA passes + 3 `_reblock3d_pallas` calls +
+    `_splat_pallas`) pays ~7 extra full-crop HBM passes per solve just to
+    materialize intermediates this kernel never lets leave the chip. The
+    per-(cell, bin) reduction is identical to `_splat_pallas` with
+    groups=ss (same staged sums, same lane-iota select), so results agree
+    to fp32 summation order."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NCZ, NCY, NCX = sp_ext
+    X = luma_p.shape[-1]
+    Xp = NCX * ss
+    P = ss * ss
+    n_cells = NCZ * NCY * NCX
+    sl = float(sigma_luma)
+
+    def kernel(lu_ref, t_ref, c_ref, out_ref):
+        lu = lu_ref[:].reshape(P, X)
+        cv = c_ref[:].reshape(P, X)
+        tc = (t_ref[:] * c_ref[:]).reshape(P, X)
+        # same DIVISION as the scan/scatter paths: a reciprocal multiply
+        # can flip knife-edge pixels into the neighboring bin
+        il = (lu / sl).astype(jnp.int32)
+        if Xp != X:  # lane-pad: bin −1 matches no l, values 0 add nothing
+            il = jnp.pad(il, ((0, 0), (0, Xp - X)), constant_values=-1)
+            cv = jnp.pad(cv, ((0, 0), (0, Xp - X)))
+            tc = jnp.pad(tc, ((0, 0), (0, Xp - X)))
+        ilT, cvT, tcT = il.T, cv.T, tc.T  # (Xp, P): rows = cx*ss + dx
+        lane = jax.lax.broadcasted_iota(jnp.int32, (3, NCX, L), 2)
+
+        def cellsum(x):  # (Xp, P) → (NCX,): staged (see _splat_pallas)
+            return x.reshape(NCX, ss, P).sum(1).sum(-1)
+
+        def body(l, acc):
+            mask = (ilT == l).astype(jnp.float32)
+            row = jnp.stack(
+                [cellsum(mask), cellsum(cvT * mask), cellsum(tcT * mask)]
+            )  # (3, NCX)
+            return jnp.where(lane == l, row[:, :, None], acc)
+
+        out_ref[:] = jax.lax.fori_loop(
+            0, L, body, jnp.zeros((3, NCX, L), jnp.float32)
+        )
+
+    slab = pl.BlockSpec(
+        (1, ss, 1, ss, X), lambda cz, cy: (cz, 0, cy, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, n_cells, L), jnp.float32),
+        grid=(NCZ, NCY),
+        in_specs=[slab, slab, slab],
+        out_specs=pl.BlockSpec(
+            (3, NCX, L), lambda cz, cy: (0, cz * NCY + cy, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(luma_p, t_p, c_p)
+
+
+def _slice_fused3d_pallas(
+    luma_p: jnp.ndarray,  # (NCZ, ss, NCY, ss, X) float — z/y padded
+    yl: jnp.ndarray,  # (n_cells, L)
+    sigma_luma: int,
+    ss: int,
+    sp_ext,
+    L: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Lattice → raw-layout pixels in ONE kernel: luma binning, the
+    per-bin select, and the inverse reblock transpose stay in VMEM;
+    returns the padded (NCZ, ss, NCY, ss, X) pixel volume (caller slices
+    off the z/y pad). Replaces `_slice_pallas` + `_unreblock3d_pallas`
+    plus the blocked-il input those needed."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NCZ, NCY, NCX = sp_ext
+    X = luma_p.shape[-1]
+    Xp = NCX * ss
+    P = ss * ss
+    sl = float(sigma_luma)
+
+    def kernel(lu_ref, y_ref, out_ref):
+        il = (lu_ref[:].reshape(P, X) / sl).astype(jnp.int32)
+        if Xp != X:
+            il = jnp.pad(il, ((0, 0), (0, Xp - X)), constant_values=-1)
+        ilT = il.T  # (Xp, P)
+        # each cell's lattice row broadcast to its ss pixel rows
+        y = jnp.broadcast_to(
+            y_ref[:].reshape(NCX, 1, L), (NCX, ss, L)
+        ).reshape(Xp, L)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Xp, L), 1)
+
+        def body(l, acc):
+            sel = jnp.sum(jnp.where(lane == l, y, 0.0), axis=1, keepdims=True)
+            return jnp.where(ilT == l, sel, acc)
+
+        outT = jax.lax.fori_loop(
+            0, L, body, jnp.zeros((Xp, P), jnp.float32)
+        )
+        out_ref[:] = outT.T[:, :X].reshape(1, ss, 1, ss, X)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(luma_p.shape, jnp.float32),
+        grid=(NCZ, NCY),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ss, 1, ss, X), lambda cz, cy: (cz, 0, cy, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (NCX, L), lambda cz, cy: (cz * NCY + cy, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ss, 1, ss, X), lambda cz, cy: (cz, 0, cy, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(luma_p, yl)
+
+
+def _pad5d_fill(x: jnp.ndarray, ss: int, sp_ext, fill) -> jnp.ndarray:
+    """(Z, Y, X) → (NCZ, ss, NCY, ss, X): z/y padded to cell multiples
+    (no-op copies elided by XLA when divisible) in the 5-D slab view the
+    fused kernels block on. The fill matters for splat counts: luma pads
+    with −2·sigma_luma so its in-kernel bin is negative (int32 cast
+    truncates toward zero, so any fill in (−sigma_luma, 0) would land in
+    bin 0!), value planes pad with 0."""
+    Z, Y, X = x.shape
+    NCZ, NCY, _ = sp_ext
+    return jnp.pad(
+        x, ((0, NCZ * ss - Z), (0, NCY * ss - Y), (0, 0)),
+        constant_values=fill,
+    ).reshape(NCZ, ss, NCY, ss, X)
+
+
 def _blur(y: jnp.ndarray, blur_dim: int = _BLUR_DIM) -> jnp.ndarray:
     """Dense bilateral-grid blur: 2·dim·y + Σ_axes (shift+1 + shift−1)."""
     out = 2.0 * blur_dim * y
@@ -371,11 +526,18 @@ def bilateral_solve_gray(
 
     - ``'auto'`` (default): ``'pallas'`` on TPU (for the block geometries
       the kernels handle), ``'scan'`` elsewhere.
-    - ``'pallas'``: one-HBM-pass splat/slice kernels — each pixel block is
-      loaded into VMEM once and the L-bin histogram/select loop runs
-      on-chip. The scan form pays L full passes over the crop (~450 ms
-      splat at a 512³ crop, L=52); this is the lowering that makes
-      headline-scale (512³ sim grid) refinement interactive.
+    - ``'pallas'``: FUSED one-kernel splat/slice — luma binning, the t·c
+      product, the rank-3 reblock transpose, and the L-bin histogram/
+      select all run on VMEM-resident slabs, so the only full-crop HBM
+      traffic is reading the three raw planes (plus the z/y cell pad
+      when the crop is ragged). 3D only.
+    - ``'pallas_reblock'``: the split form — `_reblock3d_pallas` blocked
+      views feeding `_splat_pallas`/`_slice_pallas` (one HBM pass per
+      stage; ~7 more full-crop passes than the fused kernel for its
+      intermediates). Used automatically for non-rank-3 pallas calls;
+      kept as an on-chip witness for the fused kernels.
+    - ``'pallas_interpret'``: the fused kernels in Pallas interpret mode
+      (CPU) — the suite's Mosaic-path numerics witness.
     - ``'scan'``: the lattice is REGULAR, so splat is a blockwise
       value-weighted luma histogram and slice a blockwise luma-bin
       select — both lowered as a ``lax.scan`` over the L luma bins with
@@ -408,7 +570,33 @@ def bilateral_solve_gray(
             else "scan"
         )
 
-    if pixel_impl == "pallas":
+    if pixel_impl in ("pallas", "pallas_interpret") and len(shape) == 3:
+        # fused single-kernel lowering: binning, t·c, reblock transpose,
+        # histogram/select all on VMEM-resident slabs — the split path
+        # below pays ~7 extra full-crop HBM passes for its intermediates
+        interp = pixel_impl == "pallas_interpret"
+        lu_p = _pad5d_fill(
+            luma.astype(jnp.float32), ss, sp_ext, -2.0 * sigma_luma
+        )
+        m, w_splat, b = _splat_fused3d_pallas(
+            lu_p,
+            _pad5d_fill(target.astype(jnp.float32), ss, sp_ext, 0),
+            _pad5d_fill(confidence.astype(jnp.float32), ss, sp_ext, 0),
+            sigma_luma, ss, sp_ext, L, interpret=interp,
+        ).reshape(3, nverts)
+
+        def slice_(y_vert):
+            out = _slice_fused3d_pallas(
+                lu_p, y_vert.reshape(n_cells, L), sigma_luma, ss, sp_ext,
+                L, interpret=interp,
+            )
+            NCZ, NCY, NCX = sp_ext
+            out = out.reshape(NCZ * ss, NCY * ss, shape[2])
+            return out[: shape[0], : shape[1]].reshape(-1)
+
+    elif pixel_impl == "pallas_reblock" or (
+        pixel_impl == "pallas" and len(shape) != 3
+    ):
         rank3 = len(shape) == 3
         # rank 3 blocks/unblocks in Pallas (the XLA lowering's 6-D
         # intermediate costs an 18× padded-layout temp — 11.2 GB at a
