@@ -386,23 +386,27 @@ def _splat_fused3d_pallas(
 
         out_ref[:] = jax.lax.fori_loop(
             0, L, body, jnp.zeros((3, NCX, L), jnp.float32)
-        )
+        ).reshape(3, 1, NCX, L)
 
     slab = pl.BlockSpec(
         (1, ss, 1, ss, X), lambda cz, cy: (cz, 0, cy, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    return pl.pallas_call(
+    # the cell axis rides as (NCZ·NCY, NCX) so the block's LAST TWO dims
+    # (NCX, L) equal the array dims — Mosaic requires sublane blocks be
+    # 8-aligned or full, and NCX is arbitrary (20 at a 128³ organ crop)
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((3, n_cells, L), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, NCZ * NCY, NCX, L), jnp.float32),
         grid=(NCZ, NCY),
         in_specs=[slab, slab, slab],
         out_specs=pl.BlockSpec(
-            (3, NCX, L), lambda cz, cy: (0, cz * NCY + cy, 0),
+            (3, 1, NCX, L), lambda cz, cy: (0, cz * NCY + cy, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(luma_p, t_p, c_p)
+    return out.reshape(3, n_cells, L)
 
 
 def _slice_fused3d_pallas(
@@ -436,7 +440,7 @@ def _slice_fused3d_pallas(
         # each cell's lattice row broadcast to its ss pixel rows
         y = jnp.broadcast_to(
             y_ref[:].reshape(NCX, 1, L), (NCX, ss, L)
-        ).reshape(Xp, L)
+        ).reshape(Xp, L)  # y_ref block is (1, NCX, L)
         lane = jax.lax.broadcasted_iota(jnp.int32, (Xp, L), 1)
 
         def body(l, acc):
@@ -448,6 +452,9 @@ def _slice_fused3d_pallas(
         )
         out_ref[:] = outT.T[:, :X].reshape(1, ss, 1, ss, X)
 
+    # yl rides as (NCZ·NCY, NCX, L) for the same sublane-alignment
+    # reason as the splat's output: NCX is arbitrary, so it must not be
+    # the block's second-to-last dim with a partial block
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(luma_p.shape, jnp.float32),
@@ -458,7 +465,7 @@ def _slice_fused3d_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (NCX, L), lambda cz, cy: (cz * NCY + cy, 0),
+                (1, NCX, L), lambda cz, cy: (cz * NCY + cy, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -467,7 +474,7 @@ def _slice_fused3d_pallas(
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
-    )(luma_p, yl)
+    )(luma_p, yl.reshape(NCZ * NCY, NCX, L))
 
 
 def _pad5d_fill(x: jnp.ndarray, ss: int, sp_ext, fill) -> jnp.ndarray:
