@@ -19,8 +19,15 @@ import numpy as np
 
 
 def load(path):
-    with open(path) as f:
-        return json.load(f)
+    """Missing/failed runs degrade to empty cell lists so a partial
+    measurement session still assembles (the doc records what ran)."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"WARNING: {path}: {e} — assembling without it",
+              file=sys.stderr)
+        return []
 
 
 def delta_summary(cells, key="iou_delta"):
@@ -60,6 +67,8 @@ def main():
     }
 
     def refine_summary(cells):
+        if not cells:
+            return {"missing": True}
         return {
             "base_mIoU": [c["base"]["mIoU_fg"] for c in cells],
             "bls_uplift": [c["bls_uplift"] for c in cells],
