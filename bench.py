@@ -297,6 +297,56 @@ def main():
                 f"{entry['mvps_artifact_u8']:.1f} Mvoxel/s"
             )
 
+        if size == max(sizes) and size >= 1024 and on_tpu and os.environ.get(
+            "BENCH_BLS_HEADLINE", "1"
+        ) != "0":
+            # headline-scale BLS refinement (VERDICT r4 #1): warm
+            # whole-grid-support refine at the 1024³ artifact's 512³ sim
+            # grid — the worst case a GUI edit can hit (organ-sized
+            # supports are ~40× smaller). Measures the direct solve and
+            # the coarse-to-fine solve (σ-doubled warm start,
+            # ops/bilateral.py); the c2f number is the interactive path
+            # when it wins. try/except: a refinement failure must not
+            # sink the extraction bench.
+            try:
+                from vittf_tpu.pipeline.refine import (
+                    refine_similarities_batched,
+                )
+
+                gshape = (size // 2,) * 3
+                sims_g = jax.jit(
+                    lambda k: jax.random.uniform(
+                        k, (5,) + gshape, jnp.float32
+                    )
+                )(jax.random.PRNGKey(2))
+                ref_g = jax.jit(
+                    lambda k: (
+                        jax.random.uniform(k, gshape) * 255
+                    ).astype(jnp.uint8)
+                )(jax.random.PRNGKey(3))
+                _fence_arr(ref_g)
+                for lbl, bp in (("direct", None),
+                                ("c2f", {"coarse_to_fine": True})):
+                    for nc, tag in ((5, "c5"), (1, "c1")):
+                        s_in = sims_g[:nc]
+                        run = lambda: refine_similarities_batched(  # noqa: E731
+                            s_in, None, gshape, ref_u8=ref_g, bs_params=bp
+                        )
+                        t0 = time.perf_counter()
+                        _fence_arr(run())
+                        tc = time.perf_counter() - t0
+                        t0 = time.perf_counter()
+                        _fence_arr(run())
+                        tw = time.perf_counter() - t0
+                        entry[f"bls_{lbl}_{tag}_s"] = tw
+                        log(
+                            f"  BLS whole-grid {gshape[0]}^3 {lbl} C={nc}: "
+                            f"{tw:.2f}s warm (compile+run {tc:.1f}s)"
+                        )
+                del sims_g, ref_g
+            except Exception as e:  # pragma: no cover - defensive
+                log(f"  BLS headline section failed: {e!r}")
+
         voxels = size**3
         if "full_s" in entry:
             entry["mvps_full"] = voxels / (entry["full_s"] + entry["sim_s"]) / 1e6
@@ -487,6 +537,19 @@ def main():
             f"; serve-loop p50 {table['serve_p50_ms']:.0f}ms"
             f" / BLS-on {table['serve_p50_bls_ms']:.0f}ms"
             if "serve_p50_bls_ms" in table
+            else ""
+        )
+        + (
+            (
+                lambda e: (
+                    f"; BLS whole-grid {headline_size // 2}^3: direct "
+                    f"C=5 {e['bls_direct_c5_s']:.1f}s / "
+                    f"C=1 {e['bls_direct_c1_s']:.2f}s, c2f "
+                    f"C=5 {e['bls_c2f_c5_s']:.1f}s / "
+                    f"C=1 {e['bls_c2f_c1_s']:.2f}s warm"
+                )
+            )(table[headline_size])
+            if "bls_c2f_c1_s" in table.get(headline_size, {})
             else ""
         )
     )

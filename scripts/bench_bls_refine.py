@@ -101,6 +101,24 @@ def main():
         timed("refine C=1 (warm)", lambda: refine_similarities_batched(
             sims1, None, sim_shape, ref_u8=ref_u8), n=2)
 
+        # coarse-to-fine solve (σ-doubled warm start + truncated fine CG)
+        c2f = {"coarse_to_fine": True}
+        t0 = time.perf_counter()
+        out_c = refine_similarities_batched(
+            sims, None, sim_shape, ref_u8=ref_u8, bs_params=c2f)
+        fence(out_c)
+        print(f"  refine C={C} c2f (compile+run): "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+        timed(f"refine C={C} c2f (warm)", lambda: refine_similarities_batched(
+            sims, None, sim_shape, ref_u8=ref_u8, bs_params=c2f))
+        out_b = refine_similarities_batched(sims, None, sim_shape, ref_u8=ref_u8)
+        d = np.abs(np.asarray(jax.device_get(out_c), np.int32)
+                   - np.asarray(jax.device_get(out_b), np.int32))
+        print(f"  c2f vs direct uint8: mean {d.mean():.3f} "
+              f"frac<=3 {(d <= 3).mean():.5f} max {d.max()}", flush=True)
+        timed("refine C=1 c2f (warm)", lambda: refine_similarities_batched(
+            sims1, None, sim_shape, ref_u8=ref_u8, bs_params=c2f), n=2)
+
 
 if __name__ == "__main__":
     main()

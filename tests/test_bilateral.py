@@ -317,3 +317,91 @@ def test_fused_pallas_ragged_and_divisible_geometry():
         np.testing.assert_allclose(
             np.asarray(out[2]).sum(), (t * c).sum(), rtol=1e-5
         )
+
+
+def test_coarse_restriction_is_exact():
+    """The coarse-to-fine solve's restriction claim: sum-pooling the fine
+    splat 2x along every lattice axis equals splatting directly onto the
+    sigma-doubled grid (pixel->cell and luma->bin index maps compose:
+    p // ss // 2 == p // (2*ss), (luma // sl) // 2 == luma // (2*sl))."""
+    from vittf_tpu.ops.bilateral import _grid_extents, _sumpool2, _vertex_ids
+
+    rng = np.random.default_rng(10)
+    shape, ss, sl = (21, 17, 13), 4, 8
+    luma = jnp.asarray(rng.random(shape, np.float32) * 255.0)
+    vals = jnp.asarray(rng.random(shape, np.float32))
+
+    def splat(ss_, sl_):
+        vid, ext = _vertex_ids(shape, luma, ss_, sl_)
+        n = int(np.prod(ext))
+        return (
+            jnp.zeros((n,), jnp.float32).at[vid.reshape(-1)].add(
+                vals.reshape(-1)
+            ).reshape(ext),
+            ext,
+        )
+
+    fine, ext_f = splat(ss, sl)
+    coarse, ext_c = splat(2 * ss, 2 * sl)
+    assert ext_c == _grid_extents(shape, 2 * ss, 2 * sl)
+    np.testing.assert_allclose(
+        np.asarray(_sumpool2(fine, ext_c)), np.asarray(coarse), rtol=1e-6
+    )
+
+
+def test_coarse_to_fine_bounded_deviation():
+    """coarse_to_fine=True differs from the direct solve ONLY in the CG
+    start/iterations; on a structured volume (luma correlated with the
+    target, the real refine regime) the output deviation stays within a
+    few quantization steps and downstream thresholded masks agree."""
+    rng = np.random.RandomState(11)
+    S = 40
+    z, y, x = np.mgrid[:S, :S, :S]
+    blob = (z - 20) ** 2 + (y - 20) ** 2 + (x - 20) ** 2 < 12 ** 2
+    luma = np.clip(
+        np.where(blob, 180.0, 80.0) + 12 * rng.randn(S, S, S), 0, 255
+    ).astype(np.float32)
+    t = np.clip(blob + 0.2 * rng.randn(S, S, S), 0, 1).astype(np.float32)
+    c = np.full((S, S, S), 0.9, np.float32)
+    kw = dict(sigma_spatial=7, sigma_luma=5, pixel_impl="scan")
+    exact = np.asarray(bilateral_solve_gray(
+        jnp.asarray(t), jnp.asarray(luma), jnp.asarray(c), **kw))
+    c2f = np.asarray(bilateral_solve_gray(
+        jnp.asarray(t), jnp.asarray(luma), jnp.asarray(c),
+        coarse_to_fine=True, **kw))
+    d = np.abs(exact - c2f)
+    assert d.max() < 0.05 and d.mean() < 0.002
+    m_e, m_c = exact > 0.5, c2f > 0.5
+    assert m_e.sum() > 1000  # meaningful foreground to compare
+    assert (m_e == m_c).mean() > 0.999
+    iou = (m_e & m_c).sum() / max((m_e | m_c).sum(), 1)
+    assert iou > 0.99
+
+
+def test_refine_batched_coarse_to_fine():
+    """bs_params['coarse_to_fine'] threads through the batched refine;
+    uint8 outputs stay within a few quantization steps of the default."""
+    from vittf_tpu.pipeline.refine import refine_similarities_batched
+
+    rng = np.random.default_rng(12)
+    zz, yy, xx = np.mgrid[:12, :12, :12]
+    b0 = ((zz - 5) ** 2 + (yy - 5) ** 2 + (xx - 5) ** 2) < 4 ** 2
+    b1 = ((zz - 4) ** 2 + (yy - 8) ** 2 + (xx - 7) ** 2) < 3 ** 2
+    volhalf = np.where(b0, 0.9, np.where(b1, 0.6, 0.3))
+    vol = (
+        np.kron(volhalf, np.ones((2, 2, 2)))
+        + 0.03 * rng.standard_normal((24, 24, 24))
+    ).astype(np.float32)
+    sims = np.stack([
+        np.clip(b0 + 0.15 * rng.standard_normal(b0.shape), 0, 1),
+        np.clip(b1 + 0.15 * rng.standard_normal(b1.shape), 0, 1),
+    ]).astype(np.float32)
+    base = np.asarray(refine_similarities_batched(
+        jnp.asarray(sims), jnp.asarray(vol), (12, 12, 12)))
+    c2f = np.asarray(refine_similarities_batched(
+        jnp.asarray(sims), jnp.asarray(vol), (12, 12, 12),
+        bs_params={"coarse_to_fine": True}))
+    assert c2f.shape == base.shape and c2f.dtype == np.uint8
+    d = np.abs(c2f.astype(np.int32) - base.astype(np.int32))
+    assert np.mean(d <= 3) > 0.999
+    assert d.max() <= 8

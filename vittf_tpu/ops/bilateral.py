@@ -492,6 +492,142 @@ def _pad5d_fill(x: jnp.ndarray, ss: int, sp_ext, fill) -> jnp.ndarray:
     ).reshape(NCZ, ss, NCY, ss, X)
 
 
+def _blur_pallas4d(
+    y: jnp.ndarray, blur_dim: int, interpret: bool = False
+) -> jnp.ndarray:
+    """One-HBM-pass dense lattice blur for rank-4 (Z, Y, X, L) grids.
+
+    The XLA ``_blur`` lowering pays 8 pad+add passes over the lattice
+    (each materializing on the ~2.7× lane/sublane-padded (X, L) layout)
+    per call — and the solve calls it ~35 times (10 bistochastization +
+    ≤25 CG A-applies), which is what keeps whole-grid 512³ refinement
+    seconds-long. Here each z-plane is read once (plus its two neighbor
+    planes as halos via clamped block index maps); all six in-plane ±1
+    shifts happen on the VMEM-resident tile with zero-pad boundaries —
+    bit-identical semantics to ``_blur``'s pads. Z edges are masked by
+    program id (the clamped halo read is discarded)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Z, Y, X, L = y.shape
+
+    def kernel(vm_ref, v0_ref, vp_ref, o_ref):
+        v0 = v0_ref[0]  # (Y, X, L)
+        out = 2.0 * blur_dim * v0
+        out = out + jnp.pad(v0[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+        out = out + jnp.pad(v0[:, :, : L - 1], ((0, 0), (0, 0), (1, 0)))
+        out = out + jnp.pad(v0[:, 1:, :], ((0, 0), (0, 1), (0, 0)))
+        out = out + jnp.pad(v0[:, : X - 1, :], ((0, 0), (1, 0), (0, 0)))
+        out = out + jnp.pad(v0[1:], ((0, 1), (0, 0), (0, 0)))
+        out = out + jnp.pad(v0[: Y - 1], ((1, 0), (0, 0), (0, 0)))
+        z = pl.program_id(0)
+        out = out + jnp.where(z > 0, vm_ref[0], 0.0)
+        out = out + jnp.where(z < Z - 1, vp_ref[0], 0.0)
+        o_ref[:] = out[None]
+
+    plane = lambda im: pl.BlockSpec(  # noqa: E731
+        (1, Y, X, L), im, memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(y.shape, jnp.float32),
+        grid=(Z,),
+        in_specs=[
+            plane(lambda z: (jnp.maximum(z - 1, 0), 0, 0, 0)),
+            plane(lambda z: (z, 0, 0, 0)),
+            plane(lambda z: (jnp.minimum(z + 1, Z - 1), 0, 0, 0)),
+        ],
+        out_specs=plane(lambda z: (z, 0, 0, 0)),
+        interpret=interpret,
+    )(y, y, y)
+
+
+def _sumpool2(x: jnp.ndarray, ext_c) -> jnp.ndarray:
+    """2× sum-pool every axis of a lattice array (zero-pad ragged edges).
+
+    Restriction operator of the coarse-to-fine solve: because pixel→cell
+    and luma→bin indices compose exactly under σ-doubling
+    (p // ss // 2 == p // (2·ss); (luma // sl) // 2 == luma // (2·sl)),
+    the σ-doubled problem's splat values are EXACTLY the 2× sum-pool of
+    the fine splat — no second pixel pass. Zero pad = empty vertices."""
+    for ax, ec in enumerate(ext_c):
+        e = x.shape[ax]
+        if e < 2 * ec:
+            x = jnp.pad(
+                x, [(0, 2 * ec - e) if a == ax else (0, 0)
+                    for a in range(x.ndim)],
+            )
+        x = x.reshape(
+            x.shape[:ax] + (ec, 2) + x.shape[ax + 1:]
+        ).sum(axis=ax + 1)
+    return x
+
+
+def _prolong2(y: jnp.ndarray, ext_f) -> jnp.ndarray:
+    """Nearest (piecewise-constant) 2× prolongation, cropped to the fine
+    extents — the exact adjoint map of ``_sumpool2``'s index folding:
+    fine vertex (i, …, l) reads coarse vertex (i//2, …, l//2)."""
+    for ax in range(y.ndim):
+        y = jnp.repeat(y, 2, axis=ax)
+    return y[tuple(slice(0, e) for e in ext_f)]
+
+
+def _lattice_solve(
+    m: jnp.ndarray,  # (nverts,) splat(1)
+    w_splat: jnp.ndarray,  # (nverts,) splat(c)
+    b: jnp.ndarray,  # (nverts,) splat(t·c)
+    ext,
+    lam: float,
+    A_diag_min: float,
+    cg_tol: float,
+    cg_maxiter: int,
+    bistoch_iters: int,
+    blur_dim: int,
+    y0: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Lattice-side bilateral solve: bistochastization + Jacobi-PCG on
+    A(y) = λ(Dm − Dn·blur·Dn)y + diag(splat(c))·y (reference
+    bilateral_solver3d.py:107-154). Shared by the direct solve and both
+    levels of the coarse-to-fine path; ``y0`` overrides the b/w_splat
+    warm start (the coarse-to-fine prolongation)."""
+
+    def blur_flat(y):
+        return _blur(y.reshape(ext), blur_dim).reshape(-1)
+
+    occupied = m > 0
+    n = occupied.astype(jnp.float32)
+
+    def bi_body(_, n):
+        bn = blur_flat(n)
+        return jnp.where(
+            occupied, jnp.sqrt(n * m / jnp.where(bn > 0, bn, 1.0)), 0.0
+        )
+
+    n = jax.lax.fori_loop(0, bistoch_iters, bi_body, n)
+    m_b = n * blur_flat(n)
+
+    if y0 is None:
+        y0 = jnp.where(
+            w_splat > 0, b / jnp.where(w_splat > 0, w_splat, 1.0), 0.0
+        )
+
+    def A(y):
+        smooth = m_b * y - n * blur_flat(n * y)
+        out = lam * smooth + w_splat * y
+        return jnp.where(occupied, out, y)  # identity on empty vertices
+
+    a_diag = lam * (m_b - 2.0 * blur_dim * n * n) + w_splat
+    a_diag = jnp.where(occupied, jnp.maximum(a_diag, A_diag_min), 1.0)
+
+    def precond(y):
+        return y / a_diag
+
+    yhat, _ = jax.scipy.sparse.linalg.cg(
+        A, b, x0=y0, tol=cg_tol, maxiter=cg_maxiter, M=precond
+    )
+    return yhat
+
+
 def _blur(y: jnp.ndarray, blur_dim: int = _BLUR_DIM) -> jnp.ndarray:
     """Dense bilateral-grid blur: 2·dim·y + Σ_axes (shift+1 + shift−1)."""
     out = 2.0 * blur_dim * y
@@ -511,7 +647,7 @@ def _blur(y: jnp.ndarray, blur_dim: int = _BLUR_DIM) -> jnp.ndarray:
     jax.jit,
     static_argnames=("sigma_spatial", "sigma_luma", "lam", "A_diag_min",
                      "cg_tol", "cg_maxiter", "bistoch_iters", "blur_dim",
-                     "pixel_impl"),
+                     "pixel_impl", "coarse_to_fine", "fine_maxiter"),
 )
 def bilateral_solve_gray(
     target: jnp.ndarray,  # (*spatial) float — 2D or 3D
@@ -526,6 +662,8 @@ def bilateral_solve_gray(
     bistoch_iters: int = 10,
     blur_dim: int = _BLUR_DIM,
     pixel_impl: str = "auto",
+    coarse_to_fine: bool = False,
+    fine_maxiter: int = 10,
 ) -> jnp.ndarray:
     """Solve the bilateral-regularized least squares for one channel.
 
@@ -699,36 +837,38 @@ def bilateral_solve_gray(
         w_splat = splat(c)
         b = splat(t * c)
 
-    def blur_flat(y):
-        return _blur(y.reshape(ext), blur_dim).reshape(-1)
-
-    # bistochastization (reference :107-118)
-    occupied = m > 0
-    n = occupied.astype(jnp.float32)
-
-    def bi_body(_, n):
-        bn = blur_flat(n)
-        return jnp.where(occupied, jnp.sqrt(n * m / jnp.where(bn > 0, bn, 1.0)), 0.0)
-
-    n = jax.lax.fori_loop(0, bistoch_iters, bi_body, n)
-    m = n * blur_flat(n)
-
-    y0 = jnp.where(w_splat > 0, b / jnp.where(w_splat > 0, w_splat, 1.0), 0.0)
-
-    def A(y):
-        smooth = m * y - n * blur_flat(n * y)
-        out = lam * smooth + w_splat * y
-        return jnp.where(occupied, out, y)  # identity on empty vertices
-
-    a_diag = lam * (m - 2.0 * blur_dim * n * n) + w_splat
-    a_diag = jnp.where(occupied, jnp.maximum(a_diag, A_diag_min), 1.0)
-
-    def precond(y):
-        return y / a_diag
-
-    yhat, _ = jax.scipy.sparse.linalg.cg(
-        A, b, x0=y0, tol=cg_tol, maxiter=cg_maxiter, M=precond
+    solve_kw = dict(
+        lam=lam, A_diag_min=A_diag_min, cg_tol=cg_tol,
+        bistoch_iters=bistoch_iters, blur_dim=blur_dim,
     )
+    if coarse_to_fine and all(e >= 2 for e in ext):
+        # 2-level solve: the σ-doubled coarse problem (1/2**rank+1 the
+        # vertices) is built by sum-pooling the fine splat (exact — the
+        # index maps compose, see _sumpool2), solved to cg_maxiter, and
+        # its solution prolongated into the fine CG's x0. The fine
+        # problem (splat, bistochastization, operator) is IDENTICAL to
+        # the direct solve's; only the CG start and iteration count
+        # differ, so deviation vs coarse_to_fine=False is pure CG
+        # convergence (bounded in tests/test_bilateral.py).
+        ext_c = _grid_extents(shape, 2 * sigma_spatial, 2 * sigma_luma)
+        mc, wc, bc = (
+            _sumpool2(v.reshape(ext), ext_c).reshape(-1)
+            for v in (m, w_splat, b)
+        )
+        yc = _lattice_solve(
+            mc, wc, bc, ext_c, cg_maxiter=cg_maxiter, **solve_kw
+        )
+        y0 = _prolong2(yc.reshape(ext_c), ext).reshape(-1)
+        # the coarse solution is only meaningful on occupied fine
+        # vertices; empty ones are identity rows — keep them at 0
+        y0 = jnp.where(m > 0, y0, 0.0)
+        yhat = _lattice_solve(
+            m, w_splat, b, ext, cg_maxiter=fine_maxiter, y0=y0, **solve_kw
+        )
+    else:
+        yhat = _lattice_solve(
+            m, w_splat, b, ext, cg_maxiter=cg_maxiter, **solve_kw
+        )
     out = slice_(yhat).reshape(shape)
     return jnp.nan_to_num(out)
 

@@ -155,6 +155,8 @@ def _refine_batched_core(
     lam: float,
     cg_maxiter: int,
     pixel_impl: str = "auto",
+    coarse_to_fine: bool = False,
+    fine_maxiter: int = 10,
 ) -> jnp.ndarray:
     """vmapped crop → sobel confidence → bilateral solve → write-back →
     uint8 quantize for all classes; trace-level body shared by the classic
@@ -183,6 +185,7 @@ def _refine_batched_core(
             cs, cv.astype(jnp.float32), cf,
             sigma_spatial=sigma_spatial, sigma_luma=sigma_luma, lam=lam,
             cg_maxiter=cg_maxiter, pixel_impl=pixel_impl,
+            coarse_to_fine=coarse_to_fine, fine_maxiter=fine_maxiter,
         )
         out = jax.lax.dynamic_update_slice(sim, solved, start)
         # clamp keeps all-zero (empty) classes at 0 instead of NaN
@@ -196,7 +199,7 @@ _refine_batched_device = jax.jit(
     _refine_batched_core,
     static_argnames=(
         "crop_shape", "sigma_spatial", "sigma_luma", "lam", "cg_maxiter",
-        "pixel_impl",
+        "pixel_impl", "coarse_to_fine", "fine_maxiter",
     ),
 )
 
@@ -372,11 +375,22 @@ def refine_similarities_batched(
     starts[~nonempty] = 0
     starts = starts.astype(np.int32)
     ext = tuple(int(e) for e in ext)
+    # coarse-to-fine solve: a σ-doubled coarse solve warm-starts the
+    # fine CG so it needs ~10 instead of 25 A-applies
+    # (ops/bilateral.py::bilateral_solve_gray). Opt-in via
+    # bs_params['coarse_to_fine'] or VITTF_BLS_COARSE=1 until the
+    # headline-scale speedup is measured on-chip (it only wins where CG
+    # dominates the solve).
+    c2f = bs.get("coarse_to_fine")
+    if c2f is None:
+        c2f = os.environ.get("VITTF_BLS_COARSE", "0") != "0"
     solve_kw = dict(
         sigma_spatial=int(gp["sigma_spatial"]),
         sigma_luma=int(gp["sigma_luma"]),
         lam=float(bs.get("lam", 256.0)),
         cg_maxiter=int(bs.get("cg_maxiter", 25)),
+        coarse_to_fine=bool(c2f),
+        fine_maxiter=int(bs.get("fine_maxiter", 10)),
     )
 
     # class chunking: the vmapped solve holds ~dozens of crop-sized fp32
